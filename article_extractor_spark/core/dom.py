@@ -1,0 +1,786 @@
+"""Minimal DOM with libxml2-compatible HTML recovery parsing and XML-style
+serialization.
+
+This is a from-scratch, pure-Python stand-in for the libxml2 C library that
+the reference engine uses (reference: ``/root/reference/src/full_text_parser/
+mod.rs:164-211`` parses with ``HTML_PARSE_RECOVER | HTML_PARSE_NOERROR`` and
+serializes nodes with ``node_to_string`` = libxml2 ``xmlNodeDump``,
+``/root/reference/src/util.rs:18-20``).  The goal is byte-compatible
+behaviour for the extraction pipeline:
+
+* element/attribute names lowercased at parse time, case-preserving after
+  explicit ``set_name`` (goldens contain ``<DIV>`` from renames),
+* implied ``html``/``head``/``body`` elements,
+* HTML4-era auto-close rules (libxml2 predates the HTML5 tree builder:
+  unknown elements like ``section``/``video`` never auto-close ``p``),
+* ``/>`` honoured as self-closing only for tags outside the HTML4 table,
+* XML-style serialization: ``<x/>`` for empty elements, ``&amp; &lt; &gt;``
+  escaped in text, ``&quot;`` additionally in attributes, no added
+  whitespace.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional
+
+from .entities import decode_entities_html
+
+ELEMENT_NODE = 1
+TEXT_NODE = 3
+PI_NODE = 7
+COMMENT_NODE = 8
+
+
+class Node:
+    __slots__ = ("type", "name", "attrs", "children", "parent", "text", "doc")
+
+    def __init__(self, type_: int, name: str = "", text: str = "", doc=None):
+        self.type = type_
+        self.name = name
+        self.attrs: dict[str, str | None] = {}
+        self.children: List[Node] = []
+        self.parent: Optional[Node] = None
+        self.text = text
+        self.doc = doc
+
+    # ---- constructors -------------------------------------------------
+    @staticmethod
+    def new_element(name: str, doc=None) -> "Node":
+        return Node(ELEMENT_NODE, name=name, doc=doc)
+
+    @staticmethod
+    def new_text(content: str, doc=None) -> "Node":
+        return Node(TEXT_NODE, name="text", text=content, doc=doc)
+
+    # ---- identity -----------------------------------------------------
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.type == ELEMENT_NODE:
+            return f"<Node {self.name} attrs={self.attrs}>"
+        return f"<Node #{self.name} {self.text[:30]!r}>"
+
+    # ---- basic accessors (mirroring rust-libxml Node API) -------------
+    def get_name(self) -> str:
+        return self.name
+
+    def set_name(self, name: str) -> None:
+        self.name = name
+
+    def is_element(self) -> bool:
+        return self.type == ELEMENT_NODE
+
+    def is_text(self) -> bool:
+        return self.type == TEXT_NODE
+
+    def get_type(self) -> int:
+        return self.type
+
+    def get_content(self) -> str:
+        """xmlNodeGetContent: concatenated descendant text."""
+        if self.type in (TEXT_NODE, COMMENT_NODE, PI_NODE):
+            return self.text
+        parts: List[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.type == TEXT_NODE:
+                parts.append(n.text)
+            elif n.type == ELEMENT_NODE:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
+
+    def set_content(self, content: str) -> None:
+        if self.type == TEXT_NODE:
+            self.text = content
+            return
+        self.children = []
+        t = Node.new_text(content, self.doc)
+        self.add_child(t)
+
+    # ---- attributes ----------------------------------------------------
+    def get_attribute(self, name: str) -> Optional[str]:
+        if name in self.attrs:
+            v = self.attrs[name]
+            return "" if v is None else v
+        return None
+
+    get_property = get_attribute
+
+    def has_attribute(self, name: str) -> bool:
+        return name in self.attrs
+
+    def set_attribute(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    set_property = set_attribute
+
+    def remove_attribute(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    remove_property = remove_attribute
+
+    def get_attributes(self) -> list[tuple[str, str]]:
+        return [(k, "" if v is None else v) for k, v in self.attrs.items()]
+
+    def get_class_names(self) -> list[str]:
+        cls = self.get_attribute("class")
+        if cls is None:
+            return []
+        return [c for c in cls.split() if c]
+
+    # ---- tree structure -------------------------------------------------
+    def get_parent(self) -> Optional["Node"]:
+        return self.parent
+
+    def get_child_nodes(self) -> List["Node"]:
+        return list(self.children)
+
+    def get_child_elements(self) -> List["Node"]:
+        return [c for c in self.children if c.type == ELEMENT_NODE]
+
+    def get_first_child(self) -> Optional["Node"]:
+        return self.children[0] if self.children else None
+
+    def get_last_child(self) -> Optional["Node"]:
+        return self.children[-1] if self.children else None
+
+    def get_first_element_child(self) -> Optional["Node"]:
+        for c in self.children:
+            if c.type == ELEMENT_NODE:
+                return c
+        return None
+
+    def _sibling_index(self) -> int:
+        # Linear scan; trees are small (single documents).
+        assert self.parent is not None
+        for i, c in enumerate(self.parent.children):
+            if c is self:
+                return i
+        raise ValueError("node not in parent children")
+
+    def get_next_sibling(self) -> Optional["Node"]:
+        if self.parent is None:
+            return None
+        i = self._sibling_index()
+        sibs = self.parent.children
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def get_prev_sibling(self) -> Optional["Node"]:
+        if self.parent is None:
+            return None
+        i = self._sibling_index()
+        return self.parent.children[i - 1] if i > 0 else None
+
+    def get_next_element_sibling(self) -> Optional["Node"]:
+        n = self.get_next_sibling()
+        while n is not None and n.type != ELEMENT_NODE:
+            n = n.get_next_sibling()
+        return n
+
+    def get_prev_element_sibling(self) -> Optional["Node"]:
+        n = self.get_prev_sibling()
+        while n is not None and n.type != ELEMENT_NODE:
+            n = n.get_prev_sibling()
+        return n
+
+    # ---- mutation --------------------------------------------------------
+    def unlink(self) -> None:
+        if self.parent is not None:
+            try:
+                i = self._sibling_index()
+                del self.parent.children[i]
+            except ValueError:
+                pass
+            self.parent = None
+
+    def add_child(self, child: "Node") -> None:
+        child.unlink()
+        child.parent = self
+        self.children.append(child)
+
+    def new_child(self, _ns, name: str) -> "Node":
+        n = Node.new_element(name, self.doc)
+        self.add_child(n)
+        return n
+
+    def add_text_child(self, _ns, _name: str, content: str) -> "Node":
+        t = Node.new_text(content, self.doc)
+        self.add_child(t)
+        return t
+
+    def insert_before(self, new: "Node", ref: "Node") -> None:
+        new.unlink()
+        i = ref._sibling_index()
+        new.parent = self
+        self.children.insert(i, new)
+
+    def replace_child_node(self, new: "Node", old: "Node") -> "Node":
+        """Replace ``old`` (a child of self) with ``new``; returns old."""
+        i = old._sibling_index()
+        if old.parent is not self:
+            raise ValueError("old is not a child of self")
+        new.unlink()
+        new.parent = self
+        self.children[i] = new
+        old.parent = None
+        return old
+
+    # ---- traversal helpers -----------------------------------------------
+    def iter_descendants(self) -> Iterator["Node"]:
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            yield n
+            if n.type == ELEMENT_NODE:
+                stack.extend(reversed(n.children))
+
+    def ancestors(self) -> Iterator["Node"]:
+        n = self.parent
+        while n is not None:
+            yield n
+            n = n.parent
+
+
+class Document:
+    """A document owning a single root element (like xmlDoc)."""
+
+    def __init__(self):
+        self.root: Optional[Node] = None
+
+    def get_root_element(self) -> Optional[Node]:
+        return self.root
+
+    def set_root_element(self, node: Node) -> None:
+        self.root = node
+
+    def dup(self) -> "Document":
+        d = Document()
+        if self.root is not None:
+            d.root = _deep_copy(self.root, d)
+        return d
+
+    def new_element(self, name: str) -> Node:
+        return Node.new_element(name, self)
+
+    def new_text(self, content: str) -> Node:
+        return Node.new_text(content, self)
+
+
+def _deep_copy(node: Node, doc) -> Node:
+    n = Node(node.type, name=node.name, text=node.text, doc=doc)
+    n.attrs = dict(node.attrs)
+    for c in node.children:
+        cc = _deep_copy(c, doc)
+        cc.parent = n
+        n.children.append(cc)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# HTML parsing (libxml2 HTML recovery parser behaviour)
+# ---------------------------------------------------------------------------
+
+# HTML4 void elements (libxml2 html40ElementTable EMPTY entries + embed).
+VOID_ELEMENTS = frozenset(
+    """area base basefont br col frame hr img input isindex link meta param
+    embed""".split()
+)
+
+# Elements whose raw content is CDATA until the matching close tag.
+CDATA_ELEMENTS = frozenset(("script", "style"))
+
+# Tags that may live in <head>.
+HEAD_ONLY_TAGS = frozenset(("title", "base", "link", "meta", "isindex"))
+HEAD_OK_TAGS = HEAD_ONLY_TAGS | frozenset(("script", "style"))
+
+# Approximation of libxml2's htmlStartClose table: when START tag (key) is
+# seen, any currently-open elements named in the value set are auto-closed
+# (popped repeatedly while the innermost open element matches).
+_BLOCKISH = (
+    "address blockquote center dir div dl fieldset form h1 h2 h3 h4 h5 h6 "
+    "hr isindex listing menu ol p pre table ul xmp"
+)
+START_CLOSE: dict[str, frozenset] = {
+    "form": frozenset({"form", "p"}),
+    "body": frozenset({"head", "p"}),
+    "head": frozenset({"p"}),
+    "title": frozenset({"p"}),
+    "li": frozenset("p h1 h2 h3 h4 h5 h6 dl address pre listing xmp head li".split()),
+    "hr": frozenset({"p", "head"}),
+    "h1": frozenset({"p", "head"}),
+    "h2": frozenset({"p", "head"}),
+    "h3": frozenset({"p", "head"}),
+    "h4": frozenset({"p", "head"}),
+    "h5": frozenset({"p", "head"}),
+    "h6": frozenset({"p", "head"}),
+    "dir": frozenset({"p", "head"}),
+    "address": frozenset({"p", "head", "ul"}),
+    "pre": frozenset({"p", "head", "ul"}),
+    "listing": frozenset({"p", "head"}),
+    "xmp": frozenset({"p", "head"}),
+    "blockquote": frozenset({"p", "head"}),
+    "dl": frozenset("p dt menu dir address pre listing xmp head".split()),
+    "dt": frozenset("p menu dir address pre listing xmp head dd".split()),
+    "dd": frozenset("p menu dir address pre listing xmp head dt".split()),
+    "ul": frozenset("p head ol menu dir address pre listing xmp".split()),
+    "ol": frozenset({"p", "head", "ul"}),
+    "menu": frozenset({"p", "head", "ul"}),
+    "p": frozenset({"p", "head", "h1", "h2", "h3", "h4", "h5", "h6"}),
+    "div": frozenset({"p", "head"}),
+    "noscript": frozenset({"p", "head"}),
+    "center": frozenset({"font", "b", "i", "p", "head"}),
+    "a": frozenset({"a", "head"}),
+    "caption": frozenset({"p"}),
+    "colgroup": frozenset({"caption", "button", "p"}),
+    "col": frozenset({"caption", "button", "p"}),
+    "table": frozenset(
+        "p head h1 h2 h3 h4 h5 h6 pre listing xmp a".split()
+    ),
+    "th": frozenset("th td p span font a b i u".split()),
+    "td": frozenset("th td p span font a b i u".split()),
+    "tr": frozenset(
+        "th td tr caption col colgroup p span font a b i u".split()
+    ),
+    "thead": frozenset({"caption", "col", "colgroup"}),
+    "tbody": frozenset(
+        "th td tr caption col colgroup thead tfoot tbody p span font a b i u".split()
+    ),
+    "tfoot": frozenset(
+        "th td tr caption col colgroup thead tbody p span font a b i u".split()
+    ),
+    "optgroup": frozenset({"option"}),
+    "option": frozenset({"option"}),
+    "fieldset": frozenset(
+        "legend p head h1 h2 h3 h4 h5 h6 pre listing xmp a".split()
+    ),
+}
+
+# Known HTML4 tags (libxml2 html40ElementTable): for *unknown* tags only,
+# libxml2 honours XML-style "/>" self-closing.
+KNOWN_TAGS = frozenset(
+    """a abbr acronym address applet area b base basefont bdo big blockquote
+    body br button caption center cite code col colgroup dd del dfn dir div
+    dl dt em embed fieldset font form frame frameset h1 h2 h3 h4 h5 h6 head
+    hr html i iframe img input ins isindex kbd label legend li link listing
+    map menu meta noembed noframes noscript object ol optgroup option p
+    param pre q s samp script select small span strike strong style sub sup
+    table tbody td textarea tfoot th thead title tr tt u ul var xmp""".split()
+)
+
+_TAG_NAME_RE = re.compile(r"[A-Za-z_:][^\t\n\r\f />]*")
+_ATTR_NAME_RE = re.compile(r"[^\t\n\r\f =/>]+")
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+class _Tokenizer:
+    """Hand-rolled tokenizer mirroring libxml2's HTML tokenizer closely
+    enough for the recovery cases the fixtures exercise."""
+
+    def __init__(self, data: str):
+        self.data = data
+        self.pos = 0
+        self.n = len(data)
+
+    def tokens(self):
+        data, n = self.data, self.n
+        pos = self.pos
+        while pos < n:
+            lt = data.find("<", pos)
+            if lt < 0:
+                yield ("text", data[pos:])
+                return
+            if lt > pos:
+                yield ("text", data[pos:lt])
+            pos = lt
+            if pos + 1 >= n:
+                yield ("text", data[pos:])
+                return
+            c = data[pos + 1]
+            if c == "!":
+                if data.startswith("<!--", pos):
+                    end = data.find("-->", pos + 4)
+                    if end < 0:
+                        yield ("comment", data[pos + 4 :])
+                        return
+                    yield ("comment", data[pos + 4 : end])
+                    pos = end + 3
+                elif data[pos + 2 : pos + 9].lower() == "doctype":
+                    end = data.find(">", pos)
+                    if end < 0:
+                        return
+                    yield ("doctype", data[pos + 2 : end])
+                    pos = end + 1
+                else:
+                    # bogus comment: skip to '>'
+                    end = data.find(">", pos)
+                    if end < 0:
+                        return
+                    pos = end + 1
+            elif c == "?":
+                end = data.find(">", pos)
+                if end < 0:
+                    return
+                pos = end + 1
+            elif c == "/":
+                m = _TAG_NAME_RE.match(data, pos + 2)
+                if m is None:
+                    # '</' with junk: libxml2 skips to '>'
+                    end = data.find(">", pos)
+                    if end < 0:
+                        return
+                    pos = end + 1
+                    continue
+                name = m.group(0).lower()
+                end = data.find(">", m.end())
+                if end < 0:
+                    return
+                yield ("end", name)
+                pos = end + 1
+            else:
+                m = _TAG_NAME_RE.match(data, pos + 1)
+                if m is None:
+                    # stray '<' is literal text
+                    yield ("text", "<")
+                    pos += 1
+                    continue
+                name = m.group(0).lower()
+                attrs, newpos, self_close = self._parse_attrs(m.end())
+                yield ("start", name, attrs, self_close)
+                pos = newpos
+                if name in CDATA_ELEMENTS and not self_close:
+                    # raw text until matching close tag
+                    close_re = re.compile(
+                        r"</%s\s*>" % re.escape(name), re.IGNORECASE
+                    )
+                    mm = close_re.search(data, pos)
+                    if mm is None:
+                        yield ("rawtext", name, data[pos:])
+                        yield ("end", name)
+                        return
+                    yield ("rawtext", name, data[pos : mm.start()])
+                    yield ("end", name)
+                    pos = mm.end()
+        return
+
+    def _parse_attrs(self, pos: int):
+        data, n = self.data, self.n
+        attrs: list[tuple[str, str | None]] = []
+        self_close = False
+        while pos < n:
+            while pos < n and data[pos] in " \t\n\r\f":
+                pos += 1
+            if pos >= n:
+                break
+            ch = data[pos]
+            if ch == ">":
+                pos += 1
+                return attrs, pos, self_close
+            if ch == "/":
+                if pos + 1 < n and data[pos + 1] == ">":
+                    self_close = True
+                    pos += 2
+                    return attrs, pos, self_close
+                pos += 1
+                continue
+            if ch == "<":
+                # libxml2: '<' in attr area ends the tag (recover)
+                return attrs, pos, self_close
+            m = _ATTR_NAME_RE.match(data, pos)
+            if m is None:
+                pos += 1
+                continue
+            aname = m.group(0).lower()
+            pos = m.end()
+            while pos < n and data[pos] in " \t\n\r\f":
+                pos += 1
+            value: str | None = None
+            if pos < n and data[pos] == "=":
+                pos += 1
+                while pos < n and data[pos] in " \t\n\r\f":
+                    pos += 1
+                if pos < n and data[pos] in "\"'":
+                    q = data[pos]
+                    end = data.find(q, pos + 1)
+                    if end < 0:
+                        value = data[pos + 1 :]
+                        pos = n
+                    else:
+                        value = data[pos + 1 : end]
+                        pos = end + 1
+                else:
+                    start = pos
+                    while pos < n and data[pos] not in " \t\n\r\f>":
+                        pos += 1
+                    value = data[start:pos]
+                value = decode_entities_html(value, attr=True)
+                # libxml2 normalizes newlines/tabs in attribute values to
+                # spaces? (attribute-value normalization applies to CDATA
+                # attrs only for XML; HTML parser keeps them) -> keep as-is.
+            attrs.append((aname, value))
+        return attrs, pos, self_close
+
+
+def parse_html(html: str) -> Document:
+    """Parse HTML with libxml2-style recovery into a Document."""
+    doc = Document()
+    tok = _Tokenizer(html)
+
+    html_el: Optional[Node] = None
+    head_el: Optional[Node] = None
+    body_el: Optional[Node] = None
+    # open element stack; stack[0] is <html> once created
+    stack: List[Node] = []
+
+    def ensure_html() -> Node:
+        nonlocal html_el
+        if html_el is None:
+            html_el = Node.new_element("html", doc)
+            doc.set_root_element(html_el)
+            stack.append(html_el)
+        return html_el
+
+    def ensure_head() -> Node:
+        nonlocal head_el
+        ensure_html()
+        if head_el is None and body_el is None:
+            head_el = Node.new_element("head", doc)
+            html_el.add_child(head_el)
+        return head_el
+
+    def ensure_body() -> Node:
+        nonlocal body_el
+        ensure_html()
+        if body_el is None:
+            # close head if open
+            while len(stack) > 1:
+                stack.pop()
+            b = Node.new_element("body", doc)
+            html_el.add_child(b)
+            body_el = b
+            if stack and stack[-1] is html_el:
+                stack.append(b)
+        return body_el
+
+    def cur() -> Optional[Node]:
+        return stack[-1] if stack else None
+
+    def in_head() -> bool:
+        for nd in reversed(stack):
+            if nd is head_el:
+                return True
+            if nd is body_el:
+                return False
+        return False
+
+    def auto_close(name: str) -> None:
+        closes = START_CLOSE.get(name)
+        if not closes:
+            return
+        while len(stack) > 1:
+            top = stack[-1]
+            if top.name in closes and top is not body_el and top is not html_el:
+                stack.pop()
+            else:
+                break
+
+    def append_node(n: Node) -> None:
+        c = cur()
+        if c is None:
+            ensure_html()
+            c = cur()
+        c.add_child(n)
+
+    for t in tok.tokens():
+        kind = t[0]
+        if kind == "text":
+            raw = t[1]
+            text = decode_entities_html(raw)
+            if not text:
+                continue
+            c = cur()
+            if text.strip() == "":
+                # areBlanks(): whitespace-only text dropped at document
+                # level and directly inside html/head.
+                if c is None or c is html_el or c is head_el:
+                    continue
+                append_node(Node.new_text(text, doc))
+                continue
+            if c is None or c is html_el or (head_el is not None and c is head_el):
+                ensure_body()
+            elif body_el is None and in_head():
+                ensure_body()
+            append_node(Node.new_text(text, doc))
+        elif kind == "comment":
+            # comments allowed anywhere; before html -> attached under root?
+            # libxml2 keeps pre-root comments at doc level; we attach them
+            # under <html> only if it exists, else drop (not observable in
+            # the extraction output).
+            if cur() is None:
+                continue
+            append_node(Node(COMMENT_NODE, name="comment", text=t[1], doc=doc))
+        elif kind == "doctype":
+            continue
+        elif kind == "rawtext":
+            _name, content = t[1], t[2]
+            if content:
+                append_node(Node.new_text(content, doc))
+        elif kind == "start":
+            name, attrlist, self_close = t[1], t[2], t[3]
+            if name == "html":
+                el = ensure_html()
+                for k, v in attrlist:
+                    if k not in el.attrs:
+                        el.attrs[k] = v
+                continue
+            if name == "head":
+                el = ensure_head()
+                if el is not None:
+                    for k, v in attrlist:
+                        if k not in el.attrs:
+                            el.attrs[k] = v
+                    if el not in stack:
+                        stack.append(el)
+                continue
+            if name == "body":
+                ensure_html()
+                el = ensure_body()
+                for k, v in attrlist:
+                    if k not in el.attrs:
+                        el.attrs[k] = v
+                continue
+            ensure_html()
+            if body_el is None:
+                if name in HEAD_OK_TAGS:
+                    hd = ensure_head()
+                    if hd is not None and (not stack or stack[-1] is html_el):
+                        stack.append(hd)
+                else:
+                    ensure_body()
+            auto_close(name)
+            if cur() is html_el and name not in ("head", "body"):
+                # content directly under html after </body> etc.
+                if name in HEAD_OK_TAGS and body_el is None:
+                    hd = ensure_head()
+                    if hd is not None:
+                        stack.append(hd)
+                else:
+                    if body_el is not None and body_el.parent is html_el:
+                        stack.append(body_el)
+                    else:
+                        ensure_body()
+            el = Node.new_element(name, doc)
+            for k, v in attrlist:
+                if k not in el.attrs:
+                    el.attrs[k] = v
+            append_node(el)
+            is_void = name in VOID_ELEMENTS
+            honors_self_close = name not in KNOWN_TAGS
+            if not is_void and not (self_close and honors_self_close):
+                if name not in CDATA_ELEMENTS:
+                    stack.append(el)
+                else:
+                    stack.append(el)
+        elif kind == "end":
+            name = t[1]
+            if name == "html":
+                continue
+            if name == "body":
+                while len(stack) > 1 and stack[-1] is not body_el:
+                    stack.pop()
+                if len(stack) > 1:
+                    stack.pop()
+                continue
+            if name == "head":
+                while len(stack) > 1 and stack[-1] is not head_el:
+                    stack.pop()
+                if len(stack) > 1:
+                    stack.pop()
+                continue
+            # find in stack
+            idx = None
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == name:
+                    idx = i
+                    break
+            if idx is None:
+                continue  # ignore unmatched end tag
+            del stack[idx:]
+
+    if doc.root is None:
+        # empty document
+        html_node = Node.new_element("html", doc)
+        doc.set_root_element(html_node)
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# Serialization (libxml2 xmlNodeDump, format=0)
+# ---------------------------------------------------------------------------
+
+
+def _escape_text(s: str) -> str:
+    if "&" in s:
+        s = s.replace("&", "&amp;")
+    if "<" in s:
+        s = s.replace("<", "&lt;")
+    if ">" in s:
+        s = s.replace(">", "&gt;")
+    if "\r" in s:
+        s = s.replace("\r", "&#13;")
+    return s
+
+
+def _escape_attr(s: str) -> str:
+    if "&" in s:
+        s = s.replace("&", "&amp;")
+    if "<" in s:
+        s = s.replace("<", "&lt;")
+    if ">" in s:
+        s = s.replace(">", "&gt;")
+    if '"' in s:
+        s = s.replace('"', "&quot;")
+    if "\n" in s:
+        s = s.replace("\n", "&#10;")
+    if "\t" in s:
+        s = s.replace("\t", "&#9;")
+    if "\r" in s:
+        s = s.replace("\r", "&#13;")
+    return s
+
+
+def serialize_node(node: Node) -> str:
+    out: List[str] = []
+    _dump(node, out)
+    return "".join(out)
+
+
+def _dump(node: Node, out: List[str]) -> None:
+    if node.type == TEXT_NODE:
+        out.append(_escape_text(node.text))
+        return
+    if node.type == COMMENT_NODE:
+        out.append("<!--")
+        out.append(node.text)
+        out.append("-->")
+        return
+    if node.type == PI_NODE:
+        out.append(f"<?{node.name} {node.text}?>")
+        return
+    out.append("<")
+    out.append(node.name)
+    for k, v in node.attrs.items():
+        out.append(" ")
+        out.append(k)
+        out.append('="')
+        if v:
+            out.append(_escape_attr(v))
+        out.append('"')
+    if not node.children:
+        out.append("/>")
+        return
+    out.append(">")
+    for c in node.children:
+        _dump(c, out)
+    out.append("</")
+    out.append(node.name)
+    out.append(">")

@@ -1,0 +1,628 @@
+"""The full-text extraction pipeline (config path + cleanup + post-process).
+
+Semantics port of `/root/reference/src/full_text_parser/mod.rs` —
+``parse_offline`` / ``parse_page`` / ``prep_content`` / ``post_process_*`` /
+thumbnail detection — re-expressed over the pure-Python DOM.  The Spark
+layer wraps :func:`parse_offline` in a vectorized Arrow UDF; nothing in
+this module knows about Spark."""
+
+from __future__ import annotations
+
+from . import constants, metadata, util
+from .config import ConfigCollection, ConfigEntry, get_host_name
+from .dom import Document, Node, parse_html as _dom_parse_html, serialize_node
+from .metadata import Article
+from .urlutil import RelativeUrlError, Url, UrlError, parse_ok
+from .xpath import Context, XPathError
+
+
+DEFAULT_BASE_URL = "http://fakehost/test/base/"
+
+
+class FullTextParser:
+    def __init__(self, config_collection: ConfigCollection | None = None):
+        self.config_files = config_collection or ConfigCollection()
+
+    # -- entry points ------------------------------------------------------
+
+    def parse_offline(self, pages: list[str], config: ConfigEntry | None = None,
+                      url: Url | None = None) -> Article:
+        """`mod.rs:30-83`."""
+        from .readability import extract_body as readability_extract_body
+
+        if url is None:
+            url = Url.parse(DEFAULT_BASE_URL)
+        if config is None:
+            config = self.get_grabber_config(url)
+        global_config = self.config_files.get("global.txt")
+        if global_config is None:
+            global_config = ConfigEntry()
+
+        article = Article(url)
+        document = Document()
+        root = Node.new_element("article", document)
+        document.set_root_element(root)
+
+        for page_html in pages:
+            self._parse_page(article, page_html, root, config, global_config)
+
+        context = Context(document)
+        prevent_self_closing_tags(context)
+        post_process_document(document)
+        article.html = serialize_node(root)
+        return article
+
+    def _parse_page(self, article: Article, html: str, root: Node,
+                    config: ConfigEntry | None, global_config: ConfigEntry) -> None:
+        from .readability import extract_body as readability_extract_body
+
+        document = parse_html_with_config(html, config, global_config)
+        ctx = Context(document)
+        metadata.extract(ctx, config, global_config, article)
+        if article.thumbnail_url is None:
+            article.thumbnail_url = check_for_thumbnail(ctx)
+        prep_content(ctx, config, global_config, article.url, document,
+                     article.title)
+        found_body = extract_body(ctx, root, config, global_config)
+        if not found_body:
+            readability_extract_body(document, root, article.title)
+
+    def get_grabber_config(self, url: Url) -> ConfigEntry | None:
+        host = get_host_name(url)
+        if host is None:
+            return None
+        return self.config_files.get(host + ".txt")
+
+    def thumbnail_from_html(self, html: str) -> str | None:
+        doc = _dom_parse_html(html)
+        return check_for_thumbnail(Context(doc))
+
+
+def parse_html_with_config(html: str, config: ConfigEntry | None,
+                           global_config: ConfigEntry | None) -> Document:
+    """Raw find/replace pre-pass + recovery parse (`mod.rs:122-145`)."""
+    if config is not None:
+        for replace in config.replace:
+            html = html.replace(replace.to_replace, replace.replace_with)
+    if global_config is not None:
+        for replace in global_config.replace:
+            html = html.replace(replace.to_replace, replace.replace_with)
+    return _dom_parse_html(html)
+
+
+# ---------------------------------------------------------------------------
+# Thumbnail detection (`mod.rs:258-342`)
+# ---------------------------------------------------------------------------
+
+
+def check_for_thumbnail(ctx: Context) -> str | None:
+    thumb = util.get_attribute(
+        ctx, "//meta[contains(@name, 'twitter:image')]", "content")
+    if thumb is not None:
+        return thumb
+    thumb = util.get_attribute(ctx, "//meta[contains(@name, 'og:image')]", "content")
+    if thumb is not None:
+        return thumb
+    thumb = util.get_attribute(ctx, "//link[contains(@rel, 'image_src')]", "href")
+    if thumb is not None:
+        return thumb
+
+    try:
+        img_nodes = util.evaluate_xpath(ctx, "//img", True)
+    except XPathError:
+        img_nodes = []
+    if img_nodes:
+        scores: dict[str, int] = {}
+        length = len(img_nodes)
+        for index, img_node in enumerate(img_nodes):
+            src = img_node.get_attribute("src")
+            if src is None:
+                continue
+            score = util.score_image_url(src)
+            score += util.score_img_attr(img_node)
+            score += util.score_by_parents(img_node)
+            score += util.score_by_sibling(img_node)
+            score += util.score_by_dimensions(img_node)
+            score += util.score_by_position(length, index)
+            score += util.score_by_alt(img_node)
+            scores[src] = score
+        if scores:
+            # HashMap::max_by_key keeps the LAST max on ties; dict order is
+            # insertion order, so emulate by scanning with >=.
+            top_src, top_score = None, None
+            for src, score in scores.items():
+                if top_score is None or score >= top_score:
+                    top_src, top_score = src, score
+            if top_score is not None and top_score > 0:
+                if parse_ok(top_src.strip()):
+                    return top_src.strip()
+
+    try:
+        link_nodes = util.evaluate_xpath(ctx, constants.LEAD_IMAGE_URL_XPATH, True)
+    except XPathError:
+        link_nodes = []
+    if link_nodes:
+        first = link_nodes[0]
+        for attr in ("src", "href", "value"):
+            v = first.get_attribute(attr)
+            if v is not None:
+                v = v.strip()
+                if parse_ok(v):
+                    return v
+    return None
+
+
+# ---------------------------------------------------------------------------
+# prep_content and its helpers (`mod.rs:344-733`)
+# ---------------------------------------------------------------------------
+
+
+def fix_lazy_images(ctx: Context, doc: Document) -> None:
+    img_nodes = util.evaluate_xpath(ctx, "//img", False)
+    img_nodes.extend(util.evaluate_xpath(ctx, "//picture", False))
+    img_nodes.extend(util.evaluate_xpath(ctx, "//figure", False))
+
+    for node in img_nodes:
+        tag_name = node.get_name().upper()
+        src = node.get_attribute("src")
+        if src is not None:
+            m = constants.BASE64_DATA_URL.search(src)
+            if m is not None and m.group(1) == "image/svg+xml":
+                continue
+            src_could_be_removed = False
+            for name, val in node.get_attributes():
+                if name == "src":
+                    continue
+                if constants.IS_IMAGE.search(val):
+                    src_could_be_removed = True
+                    break
+            if src_could_be_removed:
+                b64m = constants.IS_BASE64.search(src)
+                if b64m is not None:
+                    b64starts = b64m.start() + 7
+                    b64length = util.blen(src) - b64starts
+                    if b64length < 133:
+                        node.remove_attribute("src")
+
+        class_contains_lazy = "lazy" in (node.get_attribute("class") or "").lower()
+        has_src = node.has_attribute("src")
+        has_srcset = node.has_attribute("srcset")
+        if (has_src or has_srcset) and not class_contains_lazy:
+            continue
+
+        for name, val in node.get_attributes():
+            if name in ("src", "srcset", "alt"):
+                continue
+            copy_to = None
+            if constants.COPY_TO_SRCSET.search(val):
+                copy_to = "srcset"
+            elif constants.COPY_TO_SRC.search(val):
+                copy_to = "src"
+            if copy_to is not None:
+                if tag_name in ("IMG", "PICTURE"):
+                    node.set_attribute(copy_to, val)
+                elif tag_name == "FIGURE" and not util.has_any_descendent_tag(
+                    node, frozenset(("IMG", "PICTURE"))
+                ):
+                    img = Node.new_element("img", doc)
+                    img.set_attribute(copy_to, val)
+                    node.add_child(img)
+
+
+def fix_iframe_size(ctx: Context, site_name: str) -> None:
+    nodes = util.evaluate_xpath(
+        ctx, f"//iframe[contains(@src, '{site_name}')]", False)
+    for node in nodes:
+        parent = node.get_parent()
+        if parent is None or isinstance(parent, Document):
+            continue
+        video_wrapper = parent.new_child(None, "div")
+        video_wrapper.set_property("class", "videoWrapper")
+        node.set_property("width", "480")
+        node.set_property("height", "360")
+        node.set_property("aspect-ratio", "auto")
+        video_wrapper.add_child(node)
+
+
+def remove_attribute(ctx: Context, tag: str | None, attribute: str) -> None:
+    xpath_tag = tag if tag is not None else "*"
+    nodes = util.evaluate_xpath(ctx, f"//{xpath_tag}[@{attribute}]", False)
+    for node in nodes:
+        node.remove_property(attribute)
+
+
+def repair_urls(ctx: Context, xpath: str, attribute: str, article_url: Url,
+                document: Document) -> None:
+    nodes = util.evaluate_xpath(ctx, xpath, False)
+    for node in nodes:
+        url = node.get_attribute(attribute)
+        if url is None:
+            continue
+        trimmed_url = url.strip()
+        is_hash_url = url.startswith("#")
+        try:
+            Url.parse(url)
+            is_relative_url = False
+        except RelativeUrlError:
+            is_relative_url = True
+        except UrlError:
+            is_relative_url = False
+        is_javascript = "javascript:" in trimmed_url
+
+        if not is_hash_url and node.get_name().upper() == "A":
+            node.set_attribute("target", "_blank")
+
+        srcset = node.get_attribute("srcset")
+        if srcset is not None:
+            parts = []
+            for cap in constants.SRC_SET_URL.finditer(srcset):
+                cap0, cap1 = cap.group(0), cap.group(1) or ""
+                cap2, cap3 = cap.group(2) or "", cap.group(3) or ""
+                try:
+                    Url.parse(cap1)
+                    rel = False
+                except RelativeUrlError:
+                    rel = True
+                except UrlError:
+                    rel = False
+                if rel:
+                    try:
+                        completed = article_url.join(cap1).as_str()
+                    except UrlError:
+                        completed = ""
+                    parts.append(f"{completed}{cap2}{cap3}")
+                else:
+                    parts.append(cap0)
+            node.set_attribute("srcset", " ".join(parts))
+
+        if is_hash_url:
+            node.set_attribute(attribute, trimmed_url)
+        elif is_relative_url:
+            try:
+                completed_url = article_url.join(trimmed_url)
+            except UrlError:
+                continue
+            node.set_attribute(attribute, completed_url.as_str())
+        elif is_javascript:
+            child_nodes = node.get_child_nodes()
+            child_count = len(child_nodes)
+            first_child_is_text = bool(child_nodes) and child_nodes[0].is_text()
+            parent = node.get_parent()
+            if parent is not None and not isinstance(parent, Document):
+                if child_count == 1 and first_child_is_text:
+                    new_node = Node.new_text(node.get_content(), document)
+                else:
+                    new_node = Node.new_element("span", document)
+                    for child in child_nodes:
+                        new_node.add_child(child)
+                parent.replace_child_node(new_node, node)
+        else:
+            try:
+                parsed_url = Url.parse(trimmed_url)
+                node.set_attribute(attribute, parsed_url.as_str())
+            except UrlError:
+                node.set_attribute(attribute, trimmed_url)
+
+
+def fix_urls(ctx: Context, url: Url, document: Document) -> None:
+    repair_urls(ctx, "//img", "src", url, document)
+    repair_urls(ctx, "//a", "src", url, document)
+    repair_urls(ctx, "//a", "href", url, document)
+    repair_urls(ctx, "//object", "data", url, document)
+    repair_urls(ctx, "//iframe", "src", url, document)
+
+
+def prep_content(ctx: Context, config: ConfigEntry | None,
+                 global_config: ConfigEntry, url: Url, document: Document,
+                 title: str | None) -> None:
+    """`mod.rs:600-733` — ordered generic DOM cleanup."""
+    for h1_node in util.evaluate_xpath(ctx, "//h1", False):
+        h1_node.set_name("h2")
+
+    for h2_node in util.evaluate_xpath(ctx, "//h2", False):
+        if util.header_duplicates_title(h2_node, title):
+            h2_node.unlink()
+
+    for font_node in util.evaluate_xpath(ctx, "//font", False):
+        font_node.set_name("span")
+
+    util.mark_data_tables(ctx)
+
+    if config is not None:
+        for xpath_strip in config.xpath_strip:
+            util.strip_node(ctx, xpath_strip)
+    for xpath_strip in global_config.xpath_strip:
+        util.strip_node(ctx, xpath_strip)
+
+    if config is not None:
+        for cls in config.strip_id_or_class:
+            util.strip_id_or_class(ctx, cls)
+    for cls in global_config.strip_id_or_class:
+        util.strip_id_or_class(ctx, cls)
+
+    if config is not None:
+        for img_src in config.strip_image_src:
+            util.strip_node(ctx, f"//img[contains(@src,'{img_src}')]")
+    for img_src in global_config.strip_image_src:
+        util.strip_node(ctx, f"//img[contains(@src,'{img_src}')]")
+
+    unwrap_noscript_images(ctx)
+    util.strip_node(ctx, "//noscript")
+
+    fix_lazy_images(ctx, document)
+    fix_iframe_size(ctx, "youtube.com")
+    remove_attribute(ctx, "a", "onclick")
+    remove_attribute(ctx, "img", "decoding")
+    remove_attribute(ctx, "img", "loading")
+
+    util.strip_node(
+        ctx,
+        "//*[contains(@class,' entry-unrelated ') or contains(@class,' instapaper_ignore ')]",
+    )
+
+    util.strip_node(ctx, "//*[contains(@style,'display:none')]")
+    util.strip_node(ctx, "//*[contains(@style,'display: none')]")
+    remove_attribute(ctx, None, "style")
+
+    util.strip_node(ctx, "//form")
+    util.strip_node(ctx, "//input")
+    util.strip_node(ctx, "//textarea")
+    util.strip_node(ctx, "//select")
+    util.strip_node(ctx, "//button")
+
+    util.strip_node(ctx, "//comment()")
+    util.strip_node(ctx, "//script")
+    util.strip_node(ctx, "//style")
+    util.strip_node(ctx, "//a[not(node())]")
+    util.strip_node(ctx, "//*[@type='text/css']")
+    util.strip_node(ctx, "//iframe")
+    util.strip_node(ctx, "//object")
+    util.strip_node(ctx, "//embed")
+    util.strip_node(ctx, "//footer")
+    util.strip_node(ctx, "//link")
+    util.strip_node(ctx, "//aside")
+
+    root = document.get_root_element()
+    if root is not None:
+        util.replace_brs(root, document)
+        util.replace_emoji_images(root, document)
+
+    fix_urls(ctx, url, document)
+
+
+def unwrap_noscript_images(ctx: Context) -> None:
+    """`mod.rs:741-838`."""
+    img_nodes = util.evaluate_xpath(ctx, "//img", False)
+    for img_node in img_nodes:
+        attrs = img_node.get_attributes()
+        keep = any(
+            name in ("src", "srcset", "data-src", "data-srcset")
+            or constants.IS_IMAGE.search(value)
+            for name, value in attrs
+        )
+        if not keep:
+            img_node.unlink()
+
+    noscript_nodes = util.evaluate_xpath(ctx, "//noscript", False)
+    for noscript_node in noscript_nodes:
+        if not util.is_single_image(noscript_node):
+            continue
+        prev = noscript_node.get_prev_element_sibling()
+        if prev is None or not util.is_single_image(prev):
+            continue
+        prev_img = prev
+        if prev_img.get_name().upper() != "IMG":
+            found = util.get_elements_by_tag_name(prev_img, "img")
+            if found:
+                prev_img = found[0]
+        new_imgs = util.get_elements_by_tag_name(noscript_node, "img")
+        if new_imgs:
+            new_img = new_imgs[0]
+            for key, value in prev_img.get_attributes():
+                if value == "":
+                    continue
+                if key in ("src", "srcset") or constants.IS_IMAGE.search(value):
+                    if new_img.get_attribute(key) == value:
+                        continue
+                    attr_name = key
+                    if new_img.has_attribute(attr_name):
+                        attr_name = f"data-old-{attr_name}"
+                    new_img.set_attribute(attr_name, value)
+        parent = noscript_node.get_parent()
+        if parent is not None and not isinstance(parent, Document):
+            first_child = noscript_node.get_first_element_child()
+            if first_child is not None:
+                parent.replace_child_node(first_child, prev)
+                noscript_node.unlink()
+
+
+# ---------------------------------------------------------------------------
+# FTR body extraction (`mod.rs:840-897`)
+# ---------------------------------------------------------------------------
+
+
+def extract_body(ctx: Context, root: Node, config: ConfigEntry | None,
+                 global_config: ConfigEntry) -> bool:
+    found_something = False
+    if config is not None:
+        for xpath_body in config.xpath_body:
+            if extract_body_single(ctx, root, xpath_body):
+                found_something = True
+    if not found_something:
+        for xpath_body in global_config.xpath_body:
+            if extract_body_single(ctx, root, xpath_body):
+                found_something = True
+    return found_something
+
+
+def extract_body_single(ctx: Context, root: Node, xpath: str) -> bool:
+    found_something = False
+    try:
+        nodes = util.evaluate_xpath(ctx, xpath, False)
+    except XPathError:
+        return False
+    for node in nodes:
+        if not isinstance(node, Node):
+            continue
+        if node.get_property("style") is not None:
+            node.remove_property("style")
+        post_process_page(node)
+        root.add_child(node)
+        found_something = True
+    return found_something
+
+
+# ---------------------------------------------------------------------------
+# Post-processing (`mod.rs:899-1132`)
+# ---------------------------------------------------------------------------
+
+
+def prevent_self_closing_tags(ctx: Context) -> None:
+    for node in util.evaluate_xpath(ctx, "//*[not(node())]", False):
+        if node.get_name().upper() in constants.VALID_SELF_CLOSING_TAGS:
+            continue
+        node.add_text_child(None, "empty", "")
+
+
+def post_process_document(document: Document) -> None:
+    root = document.get_root_element()
+    if root is not None:
+        simplify_nested_elements(root)
+        clean_attributes(root)
+        remove_single_cell_tables(root)
+        remove_extra_p_and_div(root)
+
+
+def post_process_page(node: Node) -> None:
+    util.clean_headers(node)
+    util.replace_schema_org_objects(node)
+    util.clean_conditionally(node, "fieldset")
+    util.clean_conditionally(node, "table")
+    util.clean_conditionally(node, "ul")
+    util.clean_conditionally(node, "div")
+    remove_share_elements(node)
+    clean_attributes(node)
+    remove_single_cell_tables(node)
+    remove_extra_p_and_div(node)
+    remove_empty_nodes(node)
+
+
+def remove_single_cell_tables(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        if node.get_name().upper() == "TABLE":
+            t_body = (
+                node.get_child_elements()[0]
+                if util.has_single_tag_inside_element(node, "TBODY")
+                else node
+            )
+            if util.has_single_tag_inside_element(t_body, "TR"):
+                rows = t_body.get_child_elements()
+                row = rows[0] if rows else None
+                if row is not None and util.has_single_tag_inside_element(row, "TD"):
+                    cells = row.get_child_elements()
+                    cell = cells[0] if cells else None
+                    if cell is not None:
+                        all_phrasing = all(
+                            util.is_phrasing_content(c)
+                            for c in cell.get_child_elements()
+                        )
+                        cell.set_name("P" if all_phrasing else "DIV")
+                        parent = node.get_parent()
+                        if parent is not None and not isinstance(parent, Document):
+                            node_iter = util.next_node(node, True)
+                            parent.replace_child_node(cell, node)
+                            continue
+        node_iter = util.next_node(node, False)
+
+
+def remove_extra_p_and_div(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        tag_name = node.get_name().upper()
+        if tag_name in ("P", "DIV"):
+            total = (
+                len(util.get_elements_by_tag_name(node, "img"))
+                + len(util.get_elements_by_tag_name(node, "embed"))
+                + len(util.get_elements_by_tag_name(node, "object"))
+                + len(util.get_elements_by_tag_name(node, "iframe"))
+            )
+            if total == 0 and util.get_inner_text(node, False).strip() == "":
+                node_iter = util.remove_and_next(node)
+                continue
+        node_iter = util.next_node(node, False)
+
+
+def remove_share_elements(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        match_string = (
+            f"{node.get_attribute('class') or ''} {node.get_attribute('id') or ''}"
+        )
+        if (
+            constants.SHARE_ELEMENTS.search(match_string)
+            and util.blen(node.get_content()) < constants.DEFAULT_CHAR_THRESHOLD
+        ):
+            node_iter = util.remove_and_next(node)
+        else:
+            node_iter = util.next_node(node, False)
+
+
+def clean_attributes(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        tag_name = node.get_name().upper()
+        for attr in constants.PRESENTATIONAL_ATTRIBUTES:
+            node.remove_attribute(attr)
+        if tag_name in constants.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+            node.remove_attribute("width")
+            node.remove_attribute("height")
+        node.remove_attribute("class")
+        node.remove_attribute("align")
+        node.remove_attribute(constants.SCORE_ATTR)
+        node.remove_attribute(constants.DATA_TABLE_ATTR)
+        node_iter = util.next_node(node, False)
+
+
+def simplify_nested_elements(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        tag_name = node.get_name().upper()
+        parent = node.get_parent()
+        if tag_name == "ARTICLE" or parent is None or isinstance(parent, Document):
+            node_iter = util.next_node(node, False)
+            continue
+        if tag_name not in ("DIV", "SECTION"):
+            node_iter = util.next_node(node, False)
+            continue
+        if util.is_element_without_content(node):
+            node_iter = util.remove_and_next(node)
+            continue
+        if util.has_single_tag_inside_element(node, "DIV") or \
+                util.has_single_tag_inside_element(node, "SECTION"):
+            child = node.get_first_element_child()
+            if child is not None:
+                for k, v in node.get_attributes():
+                    child.set_attribute(k, v)
+                parent.replace_child_node(child, node)
+                node_iter = util.next_node(parent, False)
+                continue
+        node_iter = util.next_node(node, False)
+
+
+def remove_empty_nodes(root: Node) -> None:
+    node_iter: Node | None = root
+    while node_iter is not None:
+        node = node_iter
+        if node.get_name().upper() in constants.VALID_EMPTY_TAGS:
+            node_iter = util.next_node(node, False)
+            continue
+        if util.is_element_without_children(node):
+            node_iter = util.remove_and_next(node)
+            continue
+        node_iter = util.next_node(node, False)
