@@ -203,10 +203,16 @@ class Node:
         self.add_child(n)
         return n
 
-    def add_text_child(self, _ns, _name: str, content: str) -> "Node":
+    def add_text_child(self, _ns, name: str, content: str) -> "Node":
+        """xmlNewTextChild: creates a child *element* ``name`` whose content
+        is ``content`` (the reference's prevent_self_closing_tags therefore
+        inserts literal ``<empty></empty>`` elements, visible in goldens)."""
+        el = Node.new_element(name, self.doc)
         t = Node.new_text(content, self.doc)
-        self.add_child(t)
-        return t
+        t.parent = el
+        el.children.append(t)
+        self.add_child(el)
+        return el
 
     def insert_before(self, new: "Node", ref: "Node") -> None:
         new.unlink()
@@ -367,8 +373,11 @@ KNOWN_TAGS = frozenset(
     table tbody td textarea tfoot th thead title tr tt u ul var xmp""".split()
 )
 
-_TAG_NAME_RE = re.compile(r"[A-Za-z_:][^\t\n\r\f />]*")
-_ATTR_NAME_RE = re.compile(r"[^\t\n\r\f =/>]+")
+# libxml2 htmlParseHTMLName: start = letter/_/:, continue = alnum/:/-/_/.
+_TAG_NAME_RE = re.compile(
+    r"(?:[A-Za-z_:]|[^\x00-\x7f])(?:[A-Za-z0-9:._\-]|[^\x00-\x7f])*"
+)
+_ATTR_NAME_RE = _TAG_NAME_RE
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
 
@@ -487,7 +496,13 @@ class _Tokenizer:
                 return attrs, pos, self_close
             m = _ATTR_NAME_RE.match(data, pos)
             if m is None:
-                pos += 1
+                # libxml2: bogus attribute — dump up to the next blank or
+                # tag end, NOT honouring quotes (so quoted values with
+                # spaces shed trailing garbage too)
+                while pos < n and data[pos] not in " \t\n\r\f>" and not (
+                    data[pos] == "/" and pos + 1 < n and data[pos + 1] == ">"
+                ):
+                    pos += 1
                 continue
             aname = m.group(0).lower()
             pos = m.end()
@@ -605,9 +620,9 @@ def parse_html(html: str) -> Document:
                     continue
                 append_node(Node.new_text(text, doc))
                 continue
+            # Non-blank text directly under html/head implies <body>; text
+            # inside head descendants (title/script/style) stays put.
             if c is None or c is html_el or (head_el is not None and c is head_el):
-                ensure_body()
-            elif body_el is None and in_head():
                 ensure_body()
             append_node(Node.new_text(text, doc))
         elif kind == "comment":
@@ -745,6 +760,12 @@ def _escape_attr(s: str) -> str:
         s = s.replace("\t", "&#9;")
     if "\r" in s:
         s = s.replace("\r", "&#13;")
+    if not s.isascii():
+        # xmlAttrSerializeTxtContent with a NULL-encoding doc hex-escapes
+        # all non-ASCII in attribute values (text content stays UTF-8)
+        s = "".join(
+            ch if ord(ch) < 0x80 else "&#x%X;" % ord(ch) for ch in s
+        )
     return s
 
 

@@ -216,12 +216,15 @@ def fix_iframe_size(ctx: Context, site_name: str) -> None:
         parent = node.get_parent()
         if parent is None or isinstance(parent, Document):
             continue
+        # Faithful to `mod.rs:445-462`: the ok_or_else closure never runs
+        # (set_property can't fail), so the iframe is NOT moved — an empty
+        # <div class="videoWrapper"> is appended and the iframe is resized
+        # in place (attribute order preserved on update).
         video_wrapper = parent.new_child(None, "div")
         video_wrapper.set_property("class", "videoWrapper")
         node.set_property("width", "480")
         node.set_property("height", "360")
         node.set_property("aspect-ratio", "auto")
-        video_wrapper.add_child(node)
 
 
 def remove_attribute(ctx: Context, tag: str | None, attribute: str) -> None:

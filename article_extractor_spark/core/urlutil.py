@@ -39,6 +39,21 @@ _PATH_EXTRA = _FRAGMENT_EXTRA + "#?{}"
 _QUERY_EXTRA = ' "#<>'
 
 
+def _pct_encode_c0(s: str) -> str:
+    out = []
+    for ch in s:
+        cp = ord(ch)
+        if cp < 0x20 or cp == 0x7F or cp > 0x7F and cp < 0xA0:
+            for b in ch.encode("utf-8"):
+                out.append("%%%02X" % b)
+        elif cp > 0x7F:
+            for b in ch.encode("utf-8"):
+                out.append("%%%02X" % b)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _pct_encode(s: str, extra: str) -> str:
     out = []
     for ch in s:
@@ -109,10 +124,10 @@ class Url:
             # slashes (or backslashes) after the scheme is consumed.
             rest = rest.replace("\\", "/")
             after = rest.lstrip("/")
-            if not after:
+            if not after and u.scheme != "file":
                 raise UrlError("empty host")
             u._parse_authority_path(after)
-            if not u.host:
+            if not u.host and u.scheme != "file":
                 raise UrlError("empty host")
         elif rest.startswith("//"):
             u._parse_authority_path(rest[2:])
@@ -137,6 +152,14 @@ class Url:
         query = None
         if "?" in after:
             after, query = after.split("?", 1)
+        if self.scheme == "file" and re.match(r"^[A-Za-z][:|](?:[/\\]|$)", after):
+            # WHATWG file-URL Windows drive letter: empty host, path /C:/...
+            self.host = ""
+            self.port = None
+            self.path = _remove_dot_segments("/" + after[0] + ":" + after[2:])
+            self.query = query
+            self.fragment = frag
+            return
         slash = len(after)
         for i, ch in enumerate(after):
             if ch == "/":
@@ -225,7 +248,9 @@ class Url:
 
     def as_str(self) -> str:
         if self.opaque:
-            s = f"{self.scheme}:{_pct_encode(self.path, '')}"
+            # cannot-be-a-base path uses the C0-control set only (space,
+            # quotes, <, > are all kept raw — data: URLs stay readable)
+            s = f"{self.scheme}:{_pct_encode_c0(self.path)}"
             if self.query is not None:
                 s += "?" + _pct_encode(self.query, _QUERY_EXTRA)
             if self.fragment is not None:
