@@ -1,0 +1,133 @@
+"""Spark-path tests: the vectorized UDF must equal the pure-Python core
+row-for-row, lineage must reconcile, and checkpoint/resume must be exact."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tests.conftest import FIXTURE_DIR
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_spark_udf_equals_core_on_fixtures(spark):
+    """Every golden fixture through the Spark operator == pure-core output
+    (proves the Arrow/broadcast plumbing adds nothing and loses nothing)."""
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.sources.pages import fixture_pages
+    from article_extractor_spark.core.pipeline import get_parser
+    from article_extractor_spark.core.urlutil import Url
+
+    pages = fixture_pages(spark)
+    out = {
+        r["url"]: r
+        for r in extract_articles(pages, num_partitions=8).collect()
+    }
+    assert len(out) == 107
+
+    parser = get_parser()
+    checked = 0
+    for name in sorted(os.listdir(os.path.join(FIXTURE_DIR, "readability")))[:25]:
+        path = os.path.join(FIXTURE_DIR, "readability", name, "source.html")
+        if not os.path.isfile(path):
+            continue
+        with open(path, encoding="utf-8", newline="") as f:
+            html = f.read()
+        url = f"http://fakehost/test/{name}/"
+        art = parser.parse_offline([html], url=Url.parse(url))
+        row = out[url]
+        assert row["text"] == art.html, f"{name}: spark text != core"
+        assert row["title"] == art.title, f"{name}: spark title != core"
+        checked += 1
+    assert checked >= 20
+
+
+def test_lineage_reconciles(spark):
+    from article_extractor_spark.operators.extract import (extract_articles,
+                                                           lineage_metrics)
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    arts = extract_articles(pages, num_partitions=4).cache()
+    lineage = lineage_metrics(arts, "t").cache()
+    total_rows = arts.count()
+    agg = lineage.agg(F.sum("doc_count").alias("n")).collect()[0]
+    assert agg["n"] == total_rows
+    assert lineage.count() == 4
+    arts.unpersist()
+
+
+def test_checkpoint_resume_exact(spark, tmp_path):
+    from article_extractor_spark.plans.checkpoint import (completed_buckets,
+                                                          run_extraction_job,
+                                                          with_bucket)
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(120).cache()
+    out_a = str(tmp_path / "full")
+    res_full = run_extraction_job(spark, pages, out_a, num_buckets=8)
+    assert res_full["docs_total"] == 120
+    full = {r["url"]: r["text"] for r in
+            spark.read.parquet(os.path.join(out_a, "articles")).collect()}
+
+    # simulate a crash: run waves of 2 buckets, stop after 2 waves
+    out_b = str(tmp_path / "resumed")
+    from article_extractor_spark.plans import checkpoint as cp
+
+    orig_mark = cp.mark_completed
+    calls = {"n": 0}
+
+    def crashing_mark(s, d, b, r):
+        orig_mark(s, d, b, r)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+
+    cp.mark_completed = crashing_mark
+    try:
+        with pytest.raises(RuntimeError):
+            run_extraction_job(spark, pages, out_b, num_buckets=8,
+                               buckets_per_wave=2)
+    finally:
+        cp.mark_completed = orig_mark
+
+    done_before = completed_buckets(spark, os.path.join(out_b, "_checkpoint")).count()
+    assert done_before == 4  # two waves of two buckets checkpointed
+
+    res = run_extraction_job(spark, pages, out_b, num_buckets=8)
+    assert res["buckets_skipped"] == 4
+    assert res["buckets_processed"] == 4
+    resumed = {r["url"]: r["text"] for r in
+               spark.read.parquet(os.path.join(out_b, "articles")).collect()}
+    assert resumed == full  # byte-exact across crash/resume
+    pages.unpersist()
+
+
+def test_plan_pushes_projection(spark, tmp_path):
+    """Column pruning must reach the parquet scan: ReadSchema only url,html."""
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    p = str(tmp_path / "pages")
+    synthesize_pages(spark, "/root/testdata/sf0.001").write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = extract_articles(pages, num_partitions=4)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" in read_schema and "url" in read_schema
+    assert "warc_ts" not in read_schema and "lang" not in read_schema
