@@ -1,0 +1,185 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hot paths are JVM-side DataFrame expressions (no Python UDFs): hashes
+are md5-hex-prefix integers (portable to the DuckDB oracle), shuffles are
+single-pass groupBys with map-side partial aggregation, and pair-candidate
+joins are equi-joins on (band, hash) keys so AQE can split skewed buckets.
+
+Scale notes (100 TB): every operator keys its shuffle on a content hash —
+uniformly distributed by construction, so no salting is needed; candidate
+verification joins stay narrow because banding bounds pair fan-out."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(col, seed) -> "F.Column":
+    """Portable 60-bit hash: identical in Spark and DuckDB.
+
+    Spark : cast(conv(substr(md5(concat(seed,':',x)),1,15),16,10) as bigint)
+    DuckDB: cast(concat('0x',substr(md5(seed||':'||x),1,15)) as ubigint)
+    """
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{seed}', ':', {col})), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one shuffle on md5(text); returns duplicate
+    groups (hash, group size, canonical = min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.min(id_col).alias("canonical_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, computed JVM-side with
+    sequence/transform (no Python)."""
+    grams = F.expr(
+        f"CASE WHEN size(split(lower({text_col}), '\\\\s+')) >= {n} THEN "
+        f"transform(sequence(0, size(split(lower({text_col}), '\\\\s+')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Minhash with b bands of r=1 row each: band b's value is
+    min over shingles of H(b, shingle).  One groupBy produces all bands
+    (map-side combine keeps the shuffle at |docs| rows)."""
+    aggs = [
+        F.min(_h("shingle", band)).alias(f"mh{band}") for band in range(num_bands)
+    ]
+    sigs = shingles.groupBy(id_col).agg(*aggs)
+    # unpivot to (doc, band, value) for the bucket join
+    stack_expr = ", ".join(f"{b}, mh{b}" for b in range(num_bands))
+    return sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({num_bands}, {stack_expr}) as (band, band_hash)"),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_bands: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any (band, band_hash)
+    bucket.  Returns (a_id, b_id, n_shared_bands)."""
+    bands = minhash_band_hashes(
+        word_shingles(df, text_col, id_col, shingle_n), num_bands, id_col
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates: join shingle sets of the
+    candidate pairs only (bounded fan-out), jaccard = |∩| / (|a|+|b|-|∩|)."""
+    shingles = word_shingles(df, text_col, id_col, shingle_n).cache()
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    cands = minhash_lsh_pairs(df, text_col, id_col, 16, shingle_n)
+
+    sa = shingles.withColumnRenamed(id_col, "a_id")
+    sb = shingles.withColumnRenamed(id_col, "b_id")
+    shared = (
+        cands.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_shingles", "na")
+    zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_shingles", "nb")
+    return (
+        shared.join(za, "a_id").join(zb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared") /
+                    (F.col("na") + F.col("nb") - F.col("n_shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_shared", "na", "nb", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-document SimHash: tokens hashed to `bits`-bit vectors; bit i of
+    the fingerprint is the sign of sum over tokens of (+1/-1).  All bit math
+    stays in JVM expressions; one shuffle (groupBy doc)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .withColumn("th", _h("tok", "sim"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        block_col: str | None = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.  Brute pairwise within blocks
+    (block on a coarse key — label here, an LSH bucket at scale) so the
+    self-join is block-diagonal rather than full cartesian."""
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    with_norm = emb.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk"),
+        norm(vec_col).alias("_n"),
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"),
+        F.col("_blk"), F.col("_n").alias("na"))
+    b = with_norm.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
+        F.col("_blk"), F.col("_n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, "_blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

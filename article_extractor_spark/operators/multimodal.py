@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media payloads are opaque ``binary`` columns with typed metadata.  The
+Spark-side plumbing — schema, Arrow binary batching through ``mapInPandas``,
+partitioning — is real and tested; the actual codec work is STUBBED
+(image/audio libraries are not available in this container): the "decode"
+derives deterministic pseudo-metadata from the bytes' md5, so results are
+reproducible and oracle-checkable, and :func:`decode_image_real` raises
+``NotImplementedError`` marking where a real codec plugs in."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),      # image | audio | video
+    StructField("content", BinaryType()),   # opaque payload
+    StructField("mime", StringType()),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),     # pseudo (stub decode)
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("content_md5", StringType()),
+])
+
+
+def decode_image_real(content: bytes):
+    """Real decoder entry point — requires an image codec (PIL/opencv),
+    which this environment does not ship."""
+    raise NotImplementedError(
+        "real image decoding needs PIL/opencv; use the deterministic stub "
+        "(decode_media) for plumbing tests"
+    )
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload bytes are
+    the utf-8 text (stand-in blob), kind cycles image/audio/video."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+    )
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("media_id", "kind", "n_bytes", "width", "height",
+                 "n_frames", "content_md5")}
+        for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+            data = bytes(content) if content is not None else b""
+            digest = hashlib.md5(data).hexdigest()
+            h = int(digest[:15], 16)
+            rows["media_id"].append(mid)
+            rows["kind"].append(kind)
+            rows["n_bytes"].append(len(data))
+            # deterministic pseudo-dimensions (the stubbed "decode")
+            rows["width"].append(int(h % 1920) + 1)
+            rows["height"].append(int((h >> 16) % 1080) + 1)
+            rows["n_frames"].append(int((h >> 32) % 240) + 1 if kind != "image" else 1)
+            rows["content_md5"].append(digest)
+        yield pd.DataFrame(rows)
+
+
+def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads.  The
+    batch shape (binary column in, struct row out) is exactly what a real
+    codec UDF uses; only the per-item math is stubbed."""
+    projected = media.select("media_id", "kind", "content")
+    if num_partitions:
+        projected = projected.repartition(num_partitions, F.xxhash64("media_id"))
+    return projected.mapInPandas(_decode_batches, DECODED_SCHEMA)
+
+
+def media_stats(decoded: DataFrame) -> DataFrame:
+    """Typed-metadata rollup per kind (the DataFrame side of the pipeline)."""
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+    )

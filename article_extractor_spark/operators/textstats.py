@@ -1,0 +1,116 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  Pure JVM-side expressions (whole-stage codegen;
+no Python in the hot path), each with a DuckDB-replicable formulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language (heuristic lang-id)
+LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "für", "ist", "im"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "que"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword-ratio language ID: score(lang) = hits/|tokens|;
+    argmax with lexicographic tie-break.  One projection, zero shuffles."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    cols = [F.col(id_col)]
+    for lang, words in LANG_WORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hits = F.expr(
+            f"size(filter(split(lower({text_col}), '\\\\s+'), "
+            f"t -> array_contains(array({arr}), t)))"
+        )
+        cols.append(
+            F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6).alias(f"score_{lang}")
+        )
+    scored = df.select(*cols)
+    # argmax with deterministic tie-break: first language (declaration
+    # order) reaching the max wins
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_WORDS])
+    expr = None
+    for lang in LANG_WORDS:
+        branch = F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+        expr = branch if expr is None else expr.when(
+            F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in LANG_WORDS],
+        expr.alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score:
+    length, punctuation ratio, stopword ratio, mean word length."""
+    n_chars = F.length(F.col(text_col))
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    arr = ", ".join(f"'{w}'" for w in LANG_WORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(split(lower({text_col}), '\\\\s+'), "
+        f"t -> array_contains(array({arr}), t)))"
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    mean_word_len = F.round(
+        (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    score = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 0.2).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace word count + BPE-ish subtoken count (letter runs, digit
+    runs, single punctuation = one token each)."""
+    words = F.size(F.split(F.col(text_col), r"\s+"))
+    subtokens = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        subtokens.alias("n_subtokens"),
+        F.round(subtokens / F.greatest(words, F.lit(1)), 6).alias("subtokens_per_word"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                window: int = 8, prefix: int = 256) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style min over character
+    k-gram hashes of the first `prefix` chars) + distinct gram count.
+    JVM-side: sequence+transform generates the gram array, no explode."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(least(length({text_col}), {prefix}) - {window - 1}, 1)), "
+        f"i -> substr({text_col}, i, {window}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, _gram_hash)).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+
+
+def _gram_hash(g):
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")

@@ -1,0 +1,109 @@
+"""Benchmark harness: one JSON line with per-query seconds.
+
+Headline: documents/sec full-extraction throughput over the synthesized
+Common-Crawl-style pages table (the BASELINE.json metric), plus the heavy
+relational operators (minhash LSH, n-gram jaccard verify, simhash, ANN).
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables dir    (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores      (default 32)
+  AES_BENCH_MULT       pages replication   (default 4; distinct urls)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aes-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("AES_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def replicated_pages(spark, sf_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir)
+    if mult <= 1:
+        return pages
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    return pages.crossJoin(reps).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep"))
+    ).drop("rep")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("AES_BENCH_MULT", "4"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = build_spark(cpus)
+    import __spark_entry__ as entry
+    from article_extractor_spark.operators.extract import extract_articles
+
+    timings: dict[str, float] = {}
+
+    # -- headline: extraction throughput --------------------------------
+    pages = replicated_pages(spark, sf_dir, mult).cache()
+    n_docs = pages.count()  # materialize input outside the timed window
+    cfg = entry._configs(spark)
+    # Warm the Python worker pool (process spawn + module import + broadcast
+    # unpickle) so the timed window measures steady-state throughput — the
+    # quantity that projects to a long-running 100TB job, where worker
+    # startup is amortized to zero.  One tiny partition per core.
+    warm = pages.limit(4 * cpus).repartition(4 * cpus)
+    extract_articles(warm, config_broadcast=cfg).count()
+    t0 = time.monotonic()
+    arts = extract_articles(pages, config_broadcast=cfg,
+                            num_partitions=2 * cpus)
+    extracted = arts.count()
+    t_extract = time.monotonic() - t0
+    timings["extract"] = round(t_extract, 3)
+    docs_per_sec = round(extracted / t_extract, 1) if t_extract else None
+    pages.unpersist()
+
+    # -- relational operator suite --------------------------------------
+    qs = entry.queries()
+    for name in ("dedup_minhash", "dedup_jaccard", "dedup_simhash",
+                 "ann_brute", "ann_lsh", "token_counts", "quality",
+                 "fingerprint", "media_decode"):
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction_docs": extracted,
+        "extraction_docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

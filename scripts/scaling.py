@@ -1,0 +1,63 @@
+"""Two-parallelism-level scaling evidence (north rule: efficiency >= 0.8
+between cluster sizes N and 4N; sandbox evidence = local[8] vs local[32]
+on the same input, per BASELINE.md).
+
+Runs bench.py in fresh subprocesses (separate JVMs), computes
+efficiency = throughput(4N) / (4 * throughput(N)) for the extraction
+headline, and prints a markdown table ready for BENCH/BASELINE.md."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str, mult: int) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "AES_BENCH_MULT": str(mult),
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("AES_BENCH_MULT", "4"))
+    n, four_n = 8, 32
+    lo = run(n, sf_dir, mult)
+    hi = run(four_n, sf_dir, mult)
+    tp_lo = lo["extraction_docs_per_sec"]
+    tp_hi = hi["extraction_docs_per_sec"]
+    eff = tp_hi / (4 * tp_lo)
+    result = {
+        "sf_dir": sf_dir,
+        "docs": lo["extraction_docs"],
+        "throughput_n8": tp_lo,
+        "throughput_n32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "suite_sec_n8": lo["value"],
+        "suite_sec_n32": hi["value"],
+        "queries_n32": hi["queries"],
+    }
+    print(json.dumps(result))
+    print()
+    print("| cores | extraction docs/sec | suite sec |")
+    print("| --- | --- | --- |")
+    print(f"| local[{n}] | {tp_lo} | {lo['value']} |")
+    print(f"| local[{four_n}] | {tp_hi} | {hi['value']} |")
+    print(f"\nefficiency = {tp_hi} / (4 x {tp_lo}) = **{eff:.3f}**")
+
+
+if __name__ == "__main__":
+    main()
