@@ -609,11 +609,63 @@ def _eval_path(start_nodes, absolute, steps, ctx: _Ctx):
     return nodes
 
 
+def _has_positional(ast) -> bool:
+    """True if the expression (a predicate) depends on context position."""
+    kind = ast[0]
+    if kind == "const":
+        return isinstance(ast[1], float)  # bare-number predicate
+    if kind == "call" and ast[1] in ("position", "last"):
+        return True
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            if _has_positional(part):
+                return True
+        elif isinstance(part, list):
+            if any(isinstance(p, tuple) and _has_positional(p) for p in part):
+                return True
+    return False
+
+
+def _try_fast_abs_scan(steps, ctx: _Ctx):
+    """Fast path for absolute `//test[preds]` with position-free predicates:
+    one DFS in document order, no global order-map rebuild, no sort."""
+    if len(steps) != 2:
+        return None
+    s0, s1 = steps
+    if s0[1] != "descendant-or-self" or s0[2] != ("node",) or s0[3]:
+        return None
+    if s1[1] != "child":
+        return None
+    preds = s1[3]
+    for p in preds:
+        if _has_positional(p):
+            return None
+    test = s1[2]
+    root = ctx.doc.root if isinstance(ctx.doc, Document) else ctx.doc
+    if root is None:
+        return []
+    out = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if _node_test(n, test):
+            out.append(n)
+        if n.type == ELEMENT_NODE:
+            stack.extend(reversed(n.children))
+    for pred in preds:
+        out = [n for n in out if _to_bool(_eval(pred, n, 1, 1, ctx))]
+    return out
+
+
 def _eval(ast, cnode, cpos, csize, ctx: _Ctx):
     kind = ast[0]
     if kind == "const":
         return ast[1]
     if kind == "path":
+        if ast[1] and isinstance(ctx.doc, Document):
+            fast = _try_fast_abs_scan(ast[2], ctx)
+            if fast is not None:
+                return fast
         return _eval_path([cnode], ast[1], ast[2], ctx)
     if kind == "pathfrom":
         base = _eval(ast[1], cnode, cpos, csize, ctx)

@@ -43,14 +43,19 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document, computed JVM-side with
     sequence/transform (no Python)."""
+    # materialize the token array once: a `split()` inside the transform
+    # lambda would be re-evaluated per gram (O(words^2) regex work per doc)
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
     grams = F.expr(
-        f"CASE WHEN size(split(lower({text_col}), '\\\\s+')) >= {n} THEN "
-        f"transform(sequence(0, size(split(lower({text_col}), '\\\\s+')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n}))) "
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
         f"ELSE array() END"
     )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -100,7 +105,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     candidate pairs only (bounded fan-out), jaccard = |∩| / (|a|+|b|-|∩|)."""
     shingles = word_shingles(df, text_col, id_col, shingle_n).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    cands = minhash_lsh_pairs(df, text_col, id_col, 16, shingle_n)
+    # candidate pairs from the same cached shingles (no recompute)
+    bands = minhash_band_hashes(shingles, 16, id_col)
+    cands = (
+        bands.alias("a").join(bands.alias("b"), ["band", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
 
     sa = shingles.withColumnRenamed(id_col, "a_id")
     sb = shingles.withColumnRenamed(id_col, "b_id")

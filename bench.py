@@ -73,9 +73,10 @@ def main() -> None:
     # startup is amortized to zero.  One tiny partition per core.
     warm = pages.limit(4 * cpus).repartition(4 * cpus)
     extract_articles(warm, config_broadcast=cfg).count()
+    parts_per_core = int(os.environ.get("AES_PARTS_PER_CORE", "4"))
     t0 = time.monotonic()
     arts = extract_articles(pages, config_broadcast=cfg,
-                            num_partitions=2 * cpus)
+                            num_partitions=parts_per_core * cpus)
     extracted = arts.count()
     t_extract = time.monotonic() - t0
     timings["extract"] = round(t_extract, 3)
