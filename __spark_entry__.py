@@ -271,8 +271,47 @@ def q_media_stats(spark, sf_dir):
                                     num_partitions=8))
 
 
+def q_clean_fragments(spark, sf_dir):
+    """`clean_html_fragment` lifecycle over simple synthetic fragments whose
+    cleaned output is analytically predictable."""
+    from article_extractor_spark.operators.lifecycles import clean_fragments
+
+    docs = _docs(spark, sf_dir)
+    frags = docs.select(
+        F.concat(F.lit("https://frag.example.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("</p>")).alias("html"),
+    )
+    return clean_fragments(frags).select("url", "html", "thumbnail_url")
+
+
+def q_thumbnails_only(spark, sf_dir):
+    from article_extractor_spark.operators.lifecycles import thumbnails_only
+
+    return thumbnails_only(_pages(spark, sf_dir))
+
+
+def q_multipage(spark, sf_dir):
+    """Two synthetic pages per article through the multi-page assembly
+    (grouped applyInPandas); title/page-count analytically checkable."""
+    from article_extractor_spark.operators.lifecycles import extract_multipage
+
+    pages = _pages(spark, sf_dir)
+    two = pages.select(
+        F.col("url").alias("article_url"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("page_no"),
+        "html",
+    )
+    out = extract_multipage(two, config_broadcast=_configs(spark))
+    return out.select("url", "n_pages", "title")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "clean_fragments": q_clean_fragments,
+        "thumbnails_only": q_thumbnails_only,
+        "multipage": q_multipage,
         "extract_titles": q_extract_titles,
         "extract_fulltext": q_extract_fulltext,
         "host_parse": q_host_parse,
@@ -408,6 +447,30 @@ def _norm_sql(a: str) -> str:
 def oracle_sql() -> dict[str, str]:
     h_url = _H.format(x="url")
     sql = {}
+
+    sql["clean_fragments"] = """
+SELECT 'https://frag.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN length(coalesce(text, '')) > 0
+            THEN '<body><p>' || text || '</p></body>'
+            ELSE '<body><empty></empty></body>' END AS html,
+       CAST(NULL AS VARCHAR) AS thumbnail_url
+FROM documents
+"""
+
+    sql["thumbnails_only"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url,
+       'https://img.example.com/photo-' || CAST(doc_id AS VARCHAR) || '.jpg'
+         AS thumbnail_url
+FROM pages
+"""
+
+    sql["multipage"] = f"""
+WITH {_PAGES_CTE.strip()}
+SELECT url, CAST(2 AS BIGINT) AS n_pages,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title
+FROM pages
+"""
 
     sql["extract_titles"] = f"""
 WITH {_PAGES_CTE.strip()}

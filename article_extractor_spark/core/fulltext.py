@@ -21,7 +21,9 @@ DEFAULT_BASE_URL = "http://fakehost/test/base/"
 
 class FullTextParser:
     def __init__(self, config_collection: ConfigCollection | None = None):
-        self.config_files = config_collection or ConfigCollection()
+        self.config_files = (
+            config_collection if config_collection is not None else ConfigCollection()
+        )
 
     # -- entry points ------------------------------------------------------
 
