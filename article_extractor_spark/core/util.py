@@ -261,17 +261,21 @@ def get_elements_by_tag_names(node: Node, tags) -> list[Node]:
 
 
 def get_elements_by_tag_name(node: Node, tag: str) -> list[Node]:
-    tag = tag.upper()
+    tag_lower = tag.lower()
     all_tags = tag == "*"
     vec: list[Node] = []
-
-    def rec(n: Node):
-        for child in n.get_child_elements():
-            if all_tags or child.get_name().upper() == tag:
-                vec.append(child)
-            rec(child)
-
-    rec(node)
+    # iterative preorder DFS over element children (hot path)
+    stack = [c for c in reversed(node.children) if c.type == ELEMENT_NODE]
+    while stack:
+        child = stack.pop()
+        # parse-time names are lowercase; renamed nodes are uppercase —
+        # compare case-insensitively without allocating when possible
+        if all_tags or child.name == tag_lower or child.name.lower() == tag_lower:
+            vec.append(child)
+        if child.children:
+            stack.extend(
+                c for c in reversed(child.children) if c.type == ELEMENT_NODE
+            )
     return vec
 
 

@@ -646,12 +646,29 @@ def _try_fast_abs_scan(steps, ctx: _Ctx):
         return []
     out = []
     stack = [root]
-    while stack:
-        n = stack.pop()
-        if _node_test(n, test):
-            out.append(n)
-        if n.type == ELEMENT_NODE:
-            stack.extend(reversed(n.children))
+    kind = test[0]
+    # inlined node tests for the hot loop
+    if kind == "name":
+        want = test[1]
+        while stack:
+            n = stack.pop()
+            if n.type == ELEMENT_NODE:
+                if n.name == want:
+                    out.append(n)
+                stack.extend(reversed(n.children))
+    elif kind == "*":
+        while stack:
+            n = stack.pop()
+            if n.type == ELEMENT_NODE:
+                out.append(n)
+                stack.extend(reversed(n.children))
+    else:
+        while stack:
+            n = stack.pop()
+            if _node_test(n, test):
+                out.append(n)
+            if n.type == ELEMENT_NODE:
+                stack.extend(reversed(n.children))
     for pred in preds:
         out = [n for n in out if _to_bool(_eval(pred, n, 1, 1, ctx))]
     return out
