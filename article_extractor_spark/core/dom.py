@@ -379,6 +379,12 @@ _TAG_NAME_RE = re.compile(
 )
 _ATTR_NAME_RE = _TAG_NAME_RE
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
+_CDATA_END_RE = re.compile(r"</[A-Za-z]")
+
+# libxml2 htmlEndPriority: all other elements have priority 100
+_END_PRIORITY = {
+    "div": 150, "td": 160, "table": 170, "head": 180, "body": 190, "html": 200,
+}
 
 
 class _Tokenizer:
@@ -389,11 +395,35 @@ class _Tokenizer:
         self.data = data
         self.pos = 0
         self.n = len(data)
+        # When set (by the tree builder), the next content is script/style
+        # CDATA: emitted raw up to the next "</letter" (libxml2 semantics —
+        # CDATA resumes after an end tag that failed to close the element).
+        self.cdata_tag: str | None = None
 
     def tokens(self):
         data, n = self.data, self.n
         pos = self.pos
         while pos < n:
+            if self.cdata_tag is not None:
+                # script/style raw content.  libxml2 >= 2.10 (the version
+                # family that generated the reference goldens) ends CDATA
+                # only at the MATCHING close tag; older 2.9 ended at any
+                # "</letter" — we follow the goldens.
+                name = self.cdata_tag
+                self.cdata_tag = None
+                mm = re.compile(
+                    r"</%s\s*>" % re.escape(name), re.IGNORECASE
+                ).search(data, pos)
+                if mm is None:
+                    if pos < n:
+                        yield ("rawtext", name, data[pos:])
+                    yield ("end", name)
+                    return
+                if mm.start() > pos:
+                    yield ("rawtext", name, data[pos : mm.start()])
+                yield ("end", name)
+                pos = mm.end()
+                continue
             lt = data.find("<", pos)
             if lt < 0:
                 yield ("text", data[pos:])
@@ -456,19 +486,13 @@ class _Tokenizer:
                 attrs, newpos, self_close = self._parse_attrs(m.end())
                 yield ("start", name, attrs, self_close)
                 pos = newpos
-                if name in CDATA_ELEMENTS and not self_close:
-                    # raw text until matching close tag
-                    close_re = re.compile(
-                        r"</%s\s*>" % re.escape(name), re.IGNORECASE
-                    )
-                    mm = close_re.search(data, pos)
-                    if mm is None:
-                        yield ("rawtext", name, data[pos:])
-                        yield ("end", name)
-                        return
-                    yield ("rawtext", name, data[pos : mm.start()])
-                    yield ("end", name)
-                    pos = mm.end()
+                if name in CDATA_ELEMENTS:  # "/>"-ignored: script is a known tag
+                    # libxml2 htmlParseScript: raw text ends at ANY "</"
+                    # followed by a letter (not just the matching close
+                    # tag) — scripts containing "</div>" strings terminate
+                    # there and the rest is parsed as markup.  The builder
+                    # re-arms cdata_tag if the end tag didn't close us.
+                    self.cdata_tag = name
         return
 
     def _parse_attrs(self, pos: int):
@@ -614,16 +638,25 @@ def parse_html(html: str) -> Document:
                 continue
             c = cur()
             if text.strip() == "":
-                # areBlanks(): whitespace-only text dropped at document
-                # level and directly inside html/head.
-                if c is None or c is html_el or c is head_el:
+                # areBlanks(): whitespace-only text dropped only at
+                # document level (verified against libxml2: blanks under
+                # html/head are kept).
+                if c is None:
                     continue
                 append_node(Node.new_text(text, doc))
                 continue
-            # Non-blank text directly under html/head implies <body>; text
-            # inside head descendants (title/script/style) stays put.
+            # htmlCheckParagraph: non-blank text at document/html/head
+            # level gets an implied <p> wrapper; if body was already
+            # closed, the <p> lands under <html> (no body re-entry).
             if c is None or c is html_el or (head_el is not None and c is head_el):
-                ensure_body()
+                if c is head_el:
+                    while len(stack) > 1:
+                        stack.pop()
+                if body_el is None:
+                    ensure_body()
+                p_el = Node.new_element("p", doc)
+                cur().add_child(p_el)
+                stack.append(p_el)
             append_node(Node.new_text(text, doc))
         elif kind == "comment":
             # comments allowed anywhere; before html -> attached under root?
@@ -659,6 +692,10 @@ def parse_html(html: str) -> Document:
             if name == "body":
                 ensure_html()
                 el = ensure_body()
+                # explicit <body> closes anything open above it (implied
+                # <p> from stray text, open head, ...)
+                while stack and stack[-1] is not el and stack[-1] is not html_el:
+                    stack.pop()
                 for k, v in attrlist:
                     if k not in el.attrs:
                         el.attrs[k] = v
@@ -673,16 +710,14 @@ def parse_html(html: str) -> Document:
                     ensure_body()
             auto_close(name)
             if cur() is html_el and name not in ("head", "body"):
-                # content directly under html after </body> etc.
                 if name in HEAD_OK_TAGS and body_el is None:
                     hd = ensure_head()
                     if hd is not None:
                         stack.append(hd)
-                else:
-                    if body_el is not None and body_el.parent is html_el:
-                        stack.append(body_el)
-                    else:
-                        ensure_body()
+                elif body_el is None:
+                    ensure_body()
+                # else: body already closed — elements land directly under
+                # <html> (verified against libxml2; no body re-entry)
             el = Node.new_element(name, doc)
             for k, v in attrlist:
                 if k not in el.attrs:
@@ -691,35 +726,33 @@ def parse_html(html: str) -> Document:
             is_void = name in VOID_ELEMENTS
             honors_self_close = name not in KNOWN_TAGS
             if not is_void and not (self_close and honors_self_close):
-                if name not in CDATA_ELEMENTS:
-                    stack.append(el)
-                else:
-                    stack.append(el)
+                stack.append(el)
         elif kind == "end":
             name = t[1]
             if name == "html":
                 continue
-            if name == "body":
-                while len(stack) > 1 and stack[-1] is not body_el:
-                    stack.pop()
-                if len(stack) > 1:
-                    stack.pop()
-                continue
-            if name == "head":
-                while len(stack) > 1 and stack[-1] is not head_el:
-                    stack.pop()
-                if len(stack) > 1:
-                    stack.pop()
-                continue
-            # find in stack
+            # head/body close via the same priority rules as everything
+            # else (e.g. </head> while body is open is IGNORED: body's end
+            # priority 190 > head's 180 — verified against libxml2)
+            # libxml2 htmlAutoCloseOnClose: a misplaced end tag may only
+            # close through elements of lower-or-equal "end priority"; if a
+            # higher-priority element (div/td/table/head/body/html) sits
+            # between the top and the match, the end tag is IGNORED.
+            p = _END_PRIORITY.get(name, 100)
             idx = None
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == name:
                     idx = i
                     break
-            if idx is None:
-                continue  # ignore unmatched end tag
-            del stack[idx:]
+                if _END_PRIORITY.get(stack[i].name, 100) > p:
+                    break  # blocked: ignore this end tag
+            if idx is not None:
+                del stack[idx:]
+            # if a script/style is (still) the open element, its remaining
+            # content is CDATA again (libxml2 re-enters htmlParseScript)
+            top = stack[-1] if stack else None
+            if top is not None and top.name in CDATA_ELEMENTS:
+                tok.cdata_tag = top.name
 
     if doc.root is None:
         # empty document

@@ -15,8 +15,7 @@ HOSTMAP = {
     "youtube": "youtube.com",
     "hardwareluxx": "hardwareluxx.de",
     "heise-1": "heise.de",
-    # spiegel-1: known diff — one div-nesting edge in the recovery parser
-    # (tracked; the reference repo itself never runs these fixtures in CI)
+    "spiegel-1": "spiegel.de",
 }
 
 
@@ -28,18 +27,6 @@ def test_ftr_golden(name, host):
     cfg = parser.config_files.get(host + ".txt")
     assert cfg is not None
     art = parser.parse_offline([src], config=cfg, url=Url.parse(f"https://www.{host}/"))
-    assert art.html == expected
-
-
-@pytest.mark.xfail(reason="known recovery-parser nesting diff (bogus-attr tail)")
-def test_ftr_spiegel():
-    parser = get_parser()
-    src = read_fixture("ftr", "spiegel-1", "source.html")
-    expected = read_fixture("ftr", "spiegel-1", "expected.html")
-    art = parser.parse_offline(
-        [src], config=parser.config_files.get("spiegel.de.txt"),
-        url=Url.parse("https://www.spiegel.de/"),
-    )
     assert art.html == expected
 
 
