@@ -28,6 +28,7 @@ from .entities import decode_entities_html
 
 ELEMENT_NODE = 1
 TEXT_NODE = 3
+CDATA_NODE = 4  # script/style raw content (libxml2 CDATA sections)
 PI_NODE = 7
 COMMENT_NODE = 8
 
@@ -76,14 +77,14 @@ class Node:
         return self.type
 
     def get_content(self) -> str:
-        """xmlNodeGetContent: concatenated descendant text."""
-        if self.type in (TEXT_NODE, COMMENT_NODE, PI_NODE):
+        """xmlNodeGetContent: concatenated descendant text (CDATA incl)."""
+        if self.type in (TEXT_NODE, CDATA_NODE, COMMENT_NODE, PI_NODE):
             return self.text
         parts: List[str] = []
         stack = list(reversed(self.children))
         while stack:
             n = stack.pop()
-            if n.type == TEXT_NODE:
+            if n.type == TEXT_NODE or n.type == CDATA_NODE:
                 parts.append(n.text)
             elif n.type == ELEMENT_NODE:
                 stack.extend(reversed(n.children))
@@ -671,7 +672,9 @@ def parse_html(html: str) -> Document:
         elif kind == "rawtext":
             _name, content = t[1], t[2]
             if content:
-                append_node(Node.new_text(content, doc))
+                # libxml2 stores script/style content as CDATA sections
+                append_node(Node(CDATA_NODE, name="cdata-section",
+                                 text=content, doc=doc))
         elif kind == "start":
             name, attrlist, self_close = t[1], t[2], t[3]
             if name == "html":
@@ -811,6 +814,11 @@ def serialize_node(node: Node) -> str:
 def _dump(node: Node, out: List[str]) -> None:
     if node.type == TEXT_NODE:
         out.append(_escape_text(node.text))
+        return
+    if node.type == CDATA_NODE:
+        out.append("<![CDATA[")
+        out.append(node.text)
+        out.append("]]>")
         return
     if node.type == COMMENT_NODE:
         out.append("<!--")

@@ -22,7 +22,8 @@ import math
 import re
 from functools import lru_cache
 
-from .dom import COMMENT_NODE, ELEMENT_NODE, PI_NODE, TEXT_NODE, Document, Node
+from .dom import (CDATA_NODE, COMMENT_NODE, ELEMENT_NODE, PI_NODE,
+                  TEXT_NODE, Document, Node)
 
 
 class XPathError(ValueError):
@@ -475,7 +476,7 @@ def _node_test(n, test) -> bool:
     if kind == "name":
         return t == ELEMENT_NODE and n.name == test[1]
     if kind == "text":
-        return t == TEXT_NODE
+        return t == TEXT_NODE or t == CDATA_NODE
     if kind == "comment":
         return t == COMMENT_NODE
     if kind == "processing-instruction":

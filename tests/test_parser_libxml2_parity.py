@@ -40,9 +40,10 @@ CASES = [
      '<div id="o"><button><div><span>s</span><p>after</p></div></button></div>'),
     # stray end tags with no matching open element are ignored
     ("<div>a</span></div>", "<div>a</div>"),
-    # script CDATA: markup inside is raw text until the matching close
+    # script CDATA: raw content until the matching close tag, stored as a
+    # CDATA section (serialized unescaped, like libxml2 xmlNodeDump)
     ("<div><script>if (a<b) { x = '<span>no</span>'; }</script>t</div>",
-     "<div><script>if (a&lt;b) { x = '&lt;span&gt;no&lt;/span&gt;'; }</script>t</div>"),
+     "<div><script><![CDATA[if (a<b) { x = '<span>no</span>'; }]]></script>t</div>"),
 ]
 
 
