@@ -201,6 +201,12 @@ def q_dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from article_extractor_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), num_bands=8)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from article_extractor_spark.operators.dedup import simhash
 
@@ -322,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
@@ -563,6 +570,28 @@ JOIN sizes za ON za.doc_id = s.a_id
 JOIN sizes zb ON zb.doc_id = s.b_id
 WHERE round(s.n_shared * 1.0 / (za.n_shingles + zb.n_shingles - s.n_shared), 6)
       >= 0.5
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+{_minhash_bands_sql(8)},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
 
     sql["dedup_simhash"] = _simhash_sql(16)

@@ -164,6 +164,58 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_bands: int = 8,
+                   max_iterations: int = 50) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every doc
+    is assigned the min doc id of its duplicate cluster (the canonical
+    survivor).  Iterative min-label propagation over the symmetric edge
+    list — each round is one join+groupBy; rounds = O(graph diameter),
+    bounded by ``max_iterations`` (near-dup clusters are tiny in practice).
+
+    At 100 TB scale this is the standard alternating-large-star style loop:
+    edges shuffle on doc id (uniform), labels broadcast-sized per cluster."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_bands)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    )
+    # localCheckpoint truncates lineage each round — without it the
+    # logical plan doubles per iteration and the driver OOMs
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("label", F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+            .select(
+                labels[id_col],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,

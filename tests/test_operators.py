@@ -144,3 +144,14 @@ def test_broadcast_in_ann_plan(spark):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     plan = brute_force_topk(emb, q)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_dedup_clusters(spark, docs):
+    from article_extractor_spark.operators.dedup import dedup_clusters
+
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_clusters(docs, num_bands=16).collect()}
+    # docs 0,1 identical and 2 near-dup: same cluster, canonical = min id
+    assert labels[0] == labels[1] == 0
+    assert labels.get(2, 0) == 0
+    assert 3 not in labels  # unique doc: no edges, not in any cluster
