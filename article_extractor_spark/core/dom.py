@@ -296,71 +296,77 @@ VOID_ELEMENTS = frozenset(
 # Elements whose raw content is CDATA until the matching close tag.
 CDATA_ELEMENTS = frozenset(("script", "style"))
 
-# Tags that may live in <head>.
-HEAD_ONLY_TAGS = frozenset(("title", "base", "link", "meta", "isindex"))
-HEAD_OK_TAGS = HEAD_ONLY_TAGS | frozenset(("script", "style"))
+# Tags that imply creation of <head> at top level (libxml2
+# htmlCheckImplied; isindex/noscript/object go straight to <body> —
+# verified empirically against libxml2 via tests/libxml2_oracle.py).
+HEAD_CREATING_TAGS = frozenset(("title", "base", "link", "meta", "script", "style"))
+HEAD_OK_TAGS = HEAD_CREATING_TAGS  # alias
 
-# Approximation of libxml2's htmlStartClose table: when START tag (key) is
-# seen, any currently-open elements named in the value set are auto-closed
-# (popped repeatedly while the innermost open element matches).
-_BLOCKISH = (
-    "address blockquote center dir div dl fieldset form h1 h2 h3 h4 h5 h6 "
-    "hr isindex listing menu ol p pre table ul xmp"
+# Known tags that do NOT break out of an explicitly-open <head>
+# (every other KNOWN tag implies <body>; unknown tags always stay).
+# Derived empirically from libxml2.
+HEAD_STAY_TAGS = frozenset(
+    """title base link meta script style noscript object isindex basefont
+    input embed frame noframes area param col colgroup button select
+    textarea applet caption legend optgroup option del ins label tbody td
+    tfoot th thead tr""".split()
 )
-START_CLOSE: dict[str, frozenset] = {
-    "form": frozenset({"form", "p"}),
-    "body": frozenset({"head", "p"}),
-    "head": frozenset({"p"}),
-    "title": frozenset({"p"}),
-    "li": frozenset("p h1 h2 h3 h4 h5 h6 dl address pre listing xmp head li".split()),
-    "hr": frozenset({"p", "head"}),
-    "h1": frozenset({"p", "head"}),
-    "h2": frozenset({"p", "head"}),
-    "h3": frozenset({"p", "head"}),
-    "h4": frozenset({"p", "head"}),
-    "h5": frozenset({"p", "head"}),
-    "h6": frozenset({"p", "head"}),
-    "dir": frozenset({"p", "head"}),
-    "address": frozenset({"p", "head", "ul"}),
-    "pre": frozenset({"p", "head", "ul"}),
-    "listing": frozenset({"p", "head"}),
-    "xmp": frozenset({"p", "head"}),
-    "blockquote": frozenset({"p", "head"}),
-    "dl": frozenset("p dt menu dir address pre listing xmp head".split()),
-    "dt": frozenset("p menu dir address pre listing xmp head dd".split()),
-    "dd": frozenset("p menu dir address pre listing xmp head dt".split()),
-    "ul": frozenset("p head ol menu dir address pre listing xmp".split()),
-    "ol": frozenset({"p", "head", "ul"}),
-    "menu": frozenset({"p", "head", "ul"}),
-    "p": frozenset({"p", "head", "h1", "h2", "h3", "h4", "h5", "h6"}),
-    "div": frozenset({"p", "head"}),
-    "noscript": frozenset({"p", "head"}),
-    "center": frozenset({"font", "b", "i", "p", "head"}),
-    "a": frozenset({"a", "head"}),
-    "caption": frozenset({"p"}),
-    "colgroup": frozenset({"caption", "button", "p"}),
-    "col": frozenset({"caption", "button", "p"}),
-    "table": frozenset(
-        "p head h1 h2 h3 h4 h5 h6 pre listing xmp a".split()
-    ),
-    "th": frozenset("th td p span font a b i u".split()),
-    "td": frozenset("th td p span font a b i u".split()),
-    "tr": frozenset(
-        "th td tr caption col colgroup p span font a b i u".split()
-    ),
-    "thead": frozenset({"caption", "col", "colgroup"}),
-    "tbody": frozenset(
-        "th td tr caption col colgroup thead tfoot tbody p span font a b i u".split()
-    ),
-    "tfoot": frozenset(
-        "th td tr caption col colgroup thead tbody p span font a b i u".split()
-    ),
-    "optgroup": frozenset({"option"}),
-    "option": frozenset({"option"}),
-    "fieldset": frozenset(
-        "legend p head h1 h2 h3 h4 h5 h6 pre listing xmp a".split()
-    ),
+
+# libxml2 htmlStartClose matrix, derived EMPIRICALLY from the installed
+# libxml2 (probe per pair: does <old>...<new> auto-close <old>?).
+# Stored OLD -> closers, inverted below into NEW -> set(OLD); the builder
+# pops repeatedly while the innermost open element is closable.
+_OLD_TO_CLOSERS = {
+    "a": ["a", "fieldset", "table", "td", "th"],
+    "address": ["dd", "dl", "dt", "form", "li", "ul"],
+    "b": ["center", "p", "td", "th"],
+    "big": ["p"],
+    "caption": ["tbody", "tfoot", "thead", "tr"],
+    "dd": ["dt"],
+    "dir": ["dd", "dl", "dt", "form", "ul"],
+    "dl": ["form", "li"],
+    "dt": ["dd", "dl"],
+    "font": ["center", "td", "th"],
+    "form": ["form"],
+    "h1": ["fieldset", "form", "li", "p", "table"],
+    "h2": ["fieldset", "form", "li", "p", "table"],
+    "h3": ["fieldset", "form", "li", "p", "table"],
+    "h4": ["fieldset", "form", "li", "p", "table"],
+    "h5": ["fieldset", "form", "li", "p", "table"],
+    "h6": ["fieldset", "form", "li", "p", "table"],
+    "i": ["center", "p", "td", "th"],
+    "legend": ["fieldset"],
+    "li": ["li"],
+    "listing": ["dd", "dl", "dt", "fieldset", "form", "li", "table", "ul"],
+    "menu": ["dd", "dl", "dt", "form", "ul"],
+    "ol": ["form", "ul"],
+    "option": ["optgroup", "option"],
+    "p": ["address", "blockquote", "caption", "center", "dd", "dir", "div",
+          "dl", "dt", "fieldset", "form", "h1", "h2", "h3", "h4", "h5",
+          "h6", "hr", "li", "listing", "menu", "ol", "p", "pre", "table",
+          "tbody", "td", "tfoot", "th", "tr", "ul", "xmp"],
+    "pre": ["dd", "dl", "dt", "fieldset", "form", "li", "table", "ul"],
+    "s": ["p"],
+    "small": ["p"],
+    "span": ["td", "th"],
+    "strike": ["p"],
+    "tbody": ["tbody", "tfoot"],
+    "td": ["tbody", "td", "tfoot", "th", "tr"],
+    "tfoot": ["tbody"],
+    "th": ["tbody", "td", "tfoot", "th", "tr"],
+    "thead": ["tbody", "tfoot"],
+    "tr": ["tbody", "tfoot", "tr"],
+    "tt": ["p"],
+    "u": ["p", "td", "th"],
+    "ul": ["address", "form", "menu", "ol", "pre"],
+    "xmp": ["dd", "dl", "dt", "fieldset", "form", "li", "table", "ul"],
 }
+
+START_CLOSE: dict[str, frozenset] = {}
+for _old, _closers in _OLD_TO_CLOSERS.items():
+    for _new in _closers:
+        START_CLOSE.setdefault(_new, set()).add(_old)
+START_CLOSE = {k: frozenset(v) for k, v in START_CLOSE.items()}
 
 # Known HTML4 tags (libxml2 html40ElementTable): for *unknown* tags only,
 # libxml2 honours XML-style "/>" self-closing.
@@ -471,6 +477,10 @@ class _Tokenizer:
                     pos = end + 1
                     continue
                 name = m.group(0).lower()
+                if ":" in name[1:]:
+                    # HTML has no namespaces: element QName prefixes are
+                    # discarded (libxml2 xmlSplitQName); attrs keep theirs
+                    name = name[1:].split(":", 1)[1] if name[0] == ":" else name.split(":", 1)[1]
                 end = data.find(">", m.end())
                 if end < 0:
                     return
@@ -484,6 +494,8 @@ class _Tokenizer:
                     pos += 1
                     continue
                 name = m.group(0).lower()
+                if ":" in name[1:]:
+                    name = name.split(":", 1)[1] if name[0] != ":" else name
                 attrs, newpos, self_close = self._parse_attrs(m.end())
                 yield ("start", name, attrs, self_close)
                 pos = newpos
@@ -562,6 +574,9 @@ class _Tokenizer:
 
 def parse_html(html: str) -> Document:
     """Parse HTML with libxml2-style recovery into a Document."""
+    if html.startswith("﻿"):
+        # UTF-8 BOM is consumed by encoding detection, never content
+        html = html[1:]
     doc = Document()
     tok = _Tokenizer(html)
 
@@ -705,22 +720,24 @@ def parse_html(html: str) -> Document:
                 continue
             ensure_html()
             if body_el is None:
-                if name in HEAD_OK_TAGS:
-                    hd = ensure_head()
-                    if hd is not None and (not stack or stack[-1] is html_el):
-                        stack.append(hd)
+                if in_head():
+                    # inside an open head: only specific KNOWN tags break
+                    # out to <body>; unknown tags stay (verified vs libxml2)
+                    if name in KNOWN_TAGS and name not in HEAD_STAY_TAGS:
+                        ensure_body()
+                elif head_el is not None:
+                    # head exists but was closed: head-creating tags land
+                    # under <html>, anything else implies <body>
+                    if name not in HEAD_CREATING_TAGS:
+                        ensure_body()
                 else:
-                    ensure_body()
+                    if name in HEAD_CREATING_TAGS:
+                        hd = ensure_head()
+                        if hd is not None and (not stack or stack[-1] is html_el):
+                            stack.append(hd)
+                    else:
+                        ensure_body()
             auto_close(name)
-            if cur() is html_el and name not in ("head", "body"):
-                if name in HEAD_OK_TAGS and body_el is None:
-                    hd = ensure_head()
-                    if hd is not None:
-                        stack.append(hd)
-                elif body_el is None:
-                    ensure_body()
-                # else: body already closed — elements land directly under
-                # <html> (verified against libxml2; no body re-entry)
             el = Node.new_element(name, doc)
             for k, v in attrlist:
                 if k not in el.attrs:
