@@ -580,16 +580,17 @@ def clean_attributes(root: Node) -> None:
     node_iter: Node | None = root
     while node_iter is not None:
         node = node_iter
-        tag_name = node.get_name().upper()
-        for attr in constants.PRESENTATIONAL_ATTRIBUTES:
-            node.remove_attribute(attr)
-        if tag_name in constants.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            node.remove_attribute("width")
-            node.remove_attribute("height")
-        node.remove_attribute("class")
-        node.remove_attribute("align")
-        node.remove_attribute(constants.SCORE_ATTR)
-        node.remove_attribute(constants.DATA_TABLE_ATTR)
+        if node.attrs:  # skip attr churn on attribute-less/text nodes
+            tag_name = node.get_name().upper()
+            for attr in constants.PRESENTATIONAL_ATTRIBUTES:
+                node.remove_attribute(attr)
+            if tag_name in constants.DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                node.remove_attribute("width")
+                node.remove_attribute("height")
+            node.remove_attribute("class")
+            node.remove_attribute("align")
+            node.remove_attribute(constants.SCORE_ATTR)
+            node.remove_attribute(constants.DATA_TABLE_ATTR)
         node_iter = util.next_node(node, False)
 
 

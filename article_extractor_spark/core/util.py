@@ -413,17 +413,43 @@ def _should_remove(node: Node, tag: str) -> bool:
         return True
 
     if _get_char_count(node, ",") < 10:
-        p = len(get_elements_by_tag_name(node, "p"))
-        img = len(get_elements_by_tag_name(node, "img"))
-        li = len(get_elements_by_tag_name(node, "li")) - 100
-        input_count = len(get_elements_by_tag_name(node, "input"))
-        heading_density = _get_text_density(
-            node, ("h1", "h2", "h3", "h4", "h5", "h6")
-        )
+        # single DFS for all tag counts (the reference runs one scan per
+        # tag; counts are identical, order of embed checks preserved)
+        counts = {"p": 0, "img": 0, "li": 0, "input": 0,
+                  "imageobject": 0, "videoobject": 0, "video": 0}
+        headings: list[Node] = []
+        embeds_by_tag: dict[str, list[Node]] = {
+            "object": [], "embed": [], "iframe": []}
+        stack = [c for c in reversed(node.children) if c.type == ELEMENT_NODE]
+        while stack:
+            child = stack.pop()
+            nm = child.name.lower()
+            if nm in counts:
+                counts[nm] += 1
+            elif nm in embeds_by_tag:
+                embeds_by_tag[nm].append(child)
+            elif nm in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                headings.append(child)
+            if child.children:
+                stack.extend(
+                    c for c in reversed(child.children) if c.type == ELEMENT_NODE
+                )
+        p = counts["p"]
+        img = counts["img"]
+        li = counts["li"] - 100
+        input_count = counts["input"]
+
+        text_length = blen(get_inner_text(node, False))
+        if text_length == 0:
+            heading_density = 0.0
+        else:
+            heading_density = sum(
+                blen(get_inner_text(h, False)) for h in headings
+            ) / float(text_length)
 
         embed_count = 0
         for embed_tag in ("object", "embed", "iframe"):
-            for embed_node in get_elements_by_tag_name(node, embed_tag):
+            for embed_node in embeds_by_tag[embed_tag]:
                 for _name, value in embed_node.get_attributes():
                     if constants.VIDEOS.search(value):
                         return False
@@ -434,10 +460,8 @@ def _should_remove(node: Node, tag: str) -> bool:
         content_length = blen(content)
         has_figure_ancestor = has_ancestor_tag(node, "figure")
 
-        image_obj_count = len(get_elements_by_tag_name(node, "imageobject"))
-        video_obj_count = len(get_elements_by_tag_name(node, "videoobject"))
-        video_tag_count = len(get_elements_by_tag_name(node, "video"))
-        if image_obj_count > 0 or video_obj_count > 0 or video_tag_count > 0:
+        if (counts["imageobject"] > 0 or counts["videoobject"] > 0
+                or counts["video"] > 0):
             return False
 
         have_to_remove = (
@@ -460,8 +484,7 @@ def _should_remove(node: Node, tag: str) -> bool:
             for child in node.get_child_elements():
                 if len(child.get_child_elements()) > 1:
                     return have_to_remove
-            li_count = len(get_elements_by_tag_name(node, "li"))
-            if img == li_count:
+            if img == counts["li"]:
                 return False
         return have_to_remove
     return False

@@ -610,8 +610,21 @@ def _eval_path(start_nodes, absolute, steps, ctx: _Ctx):
     return nodes
 
 
+_POSITIONAL_MEMO: dict = {}
+
+
 def _has_positional(ast) -> bool:
-    """True if the expression (a predicate) depends on context position."""
+    """True if the expression (a predicate) depends on context position.
+    Memoized by id(): ASTs live forever in the _compile lru_cache."""
+    cached = _POSITIONAL_MEMO.get(id(ast))
+    if cached is not None:
+        return cached
+    r = _has_positional_uncached(ast)
+    _POSITIONAL_MEMO[id(ast)] = r
+    return r
+
+
+def _has_positional_uncached(ast) -> bool:
     kind = ast[0]
     if kind == "const":
         return isinstance(ast[1], float)  # bare-number predicate
