@@ -372,14 +372,28 @@ shingles AS (
 """
 
 
-def _minhash_bands_sql(num_bands: int) -> str:
-    unions = "\nUNION ALL\n".join(
+def _minhash_bands_sql(num_bands: int, rows_per_band: int = 2) -> str:
+    k = num_bands * rows_per_band
+    n_md5 = (k + 3) // 4
+    md5s = ", ".join(
+        f"md5('{j}' || ':' || shingle) AS m{j}" for j in range(n_md5)
+    )
+    mins = ", ".join(
+        f"min(cast(concat('0x', substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) as ubigint)::bigint) AS mh{i}"
+        for i in range(k)
+    )
+    band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, "
-        f"min(cast(concat('0x', substr(md5('{b}' || ':' || shingle), 1, 15)) as ubigint)::bigint)"
-        f" AS band_hash FROM shingles GROUP BY doc_id"
+        f"cast(concat('0x', substr(md5(concat("
+        + ", ':', ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")), 1, 15)) as ubigint)::bigint AS band_hash FROM sigs"
         for b in range(num_bands)
     )
-    return f"bands AS (\n{unions}\n)"
+    return (
+        f"pre AS (\n  SELECT doc_id, {md5s} FROM shingles\n),\n"
+        f"sigs AS (\n  SELECT doc_id, {mins}\n  FROM pre GROUP BY doc_id\n),\n"
+        f"bands AS (\n{band_rows}\n)"
+    )
 
 
 def _simhash_sql(bits: int) -> str:

@@ -61,16 +61,40 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Minhash with b bands of r=1 row each: band b's value is
-    min over shingles of H(b, shingle).  One groupBy produces all bands
-    (map-side combine keeps the shuffle at |docs| rows)."""
+                        id_col: str = "doc_id", rows_per_band: int = 2) -> DataFrame:
+    """MinHash LSH banding: k = num_bands * rows_per_band minhash values
+    per doc (one groupBy with k min-aggs — map-side combine keeps the
+    shuffle at |docs| rows); band b's bucket key combines its r minhashes
+    (AND-construction: candidate probability 1-(1-j^r)^b, much sharper
+    than r=1 and keeps the bucket self-join from exploding)."""
+    k = num_bands * rows_per_band
+    # one md5 yields four independent 32-bit minhash values (substr slices)
+    n_md5 = (k + 3) // 4
+    pre = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"m{j}")
+            for j in range(n_md5)
+        ],
+    )
     aggs = [
-        F.min(_h("shingle", band)).alias(f"mh{band}") for band in range(num_bands)
+        F.min(
+            F.conv(
+                F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10
+            ).cast("bigint")
+        ).alias(f"mh{i}")
+        for i in range(k)
     ]
-    sigs = shingles.groupBy(id_col).agg(*aggs)
-    # unpivot to (doc, band, value) for the bucket join
-    stack_expr = ", ".join(f"{b}, mh{b}" for b in range(num_bands))
+    sigs = pre.groupBy(id_col).agg(*aggs)
+    band_exprs = []
+    for b in range(num_bands):
+        parts = ", ':', ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_exprs.append(
+            f"{b}, cast(conv(substr(md5(concat({parts})), 1, 15), 16, 10) as bigint)"
+        )
+    stack_expr = ", ".join(band_exprs)
     return sigs.select(
         F.col(id_col),
         F.expr(f"stack({num_bands}, {stack_expr}) as (band, band_hash)"),
