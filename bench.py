@@ -81,7 +81,8 @@ def main() -> None:
     t_extract = time.monotonic() - t0
     timings["extract"] = round(t_extract, 3)
     docs_per_sec = round(extracted / t_extract, 1) if t_extract else None
-    pages.unpersist()
+    pages.unpersist(blocking=True)
+    spark.catalog.clearCache()
 
     # -- relational operator suite --------------------------------------
     qs = entry.queries()
