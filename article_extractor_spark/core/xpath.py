@@ -640,6 +640,89 @@ def _has_positional_uncached(ast) -> bool:
     return False
 
 
+_SIMPLE_PRED_MEMO: dict = {}
+_MISS = object()
+
+
+def _compile_simple_pred(ast):
+    """Compile common predicate shapes to direct callables (no _eval
+    recursion): @attr existence, contains(@attr,'s'), @attr='v',
+    node(), and/or/not combinations.  Returns None when unsupported."""
+    cached = _SIMPLE_PRED_MEMO.get(id(ast), _MISS)
+    if cached is not _MISS:
+        return cached
+    fn = _compile_simple_pred_uncached(ast)
+    _SIMPLE_PRED_MEMO[id(ast)] = fn
+    return fn
+
+
+def _attr_name_of(ast):
+    """ast is a relative path of exactly one attribute step -> attr name."""
+    if (
+        ast[0] == "path" and not ast[1] and len(ast[2]) == 1
+        and ast[2][0][1] == "attribute" and not ast[2][0][3]
+        and ast[2][0][2][0] == "name"
+    ):
+        return ast[2][0][2][1]
+    return None
+
+
+def _compile_simple_pred_uncached(ast):
+    kind = ast[0]
+    if kind == "path":
+        a = _attr_name_of(ast)
+        if a is not None:
+            return lambda n: n.type == ELEMENT_NODE and a in n.attrs
+        # child::node() — any child
+        if (not ast[1] and len(ast[2]) == 1 and ast[2][0][1] == "child"
+                and ast[2][0][2] == ("node",) and not ast[2][0][3]):
+            return lambda n: bool(getattr(n, "children", ()))
+        return None
+    if kind == "call":
+        name, args = ast[1], ast[2]
+        if name == "not" and len(args) == 1:
+            inner = _compile_simple_pred(args[0])
+            if inner is not None:
+                return lambda n: not inner(n)
+            return None
+        if name == "contains" and len(args) == 2 and args[1][0] == "const" \
+                and isinstance(args[1][1], str):
+            a = _attr_name_of(args[0])
+            if a is not None:
+                s = args[1][1]
+
+                def _contains(n, a=a, s=s):
+                    if n.type != ELEMENT_NODE or a not in n.attrs:
+                        return s == ""
+                    v = n.attrs[a]
+                    return s in ("" if v is None else v)
+
+                return _contains
+        return None
+    if kind == "cmp" and ast[1] == "=" and ast[3][0] == "const" \
+            and isinstance(ast[3][1], str):
+        a = _attr_name_of(ast[2])
+        if a is not None:
+            s = ast[3][1]
+
+            def _eq(n, a=a, s=s):
+                if n.type != ELEMENT_NODE or a not in n.attrs:
+                    return False
+                v = n.attrs[a]
+                return ("" if v is None else v) == s
+
+            return _eq
+        return None
+    if kind in ("or", "and"):
+        l = _compile_simple_pred(ast[1])
+        r = _compile_simple_pred(ast[2])
+        if l is not None and r is not None:
+            if kind == "or":
+                return lambda n: l(n) or r(n)
+            return lambda n: l(n) and r(n)
+    return None
+
+
 def _try_fast_abs_scan(steps, ctx: _Ctx):
     """Fast path for absolute `//test[preds]` with position-free predicates:
     one DFS in document order, no global order-map rebuild, no sort."""
@@ -684,7 +767,11 @@ def _try_fast_abs_scan(steps, ctx: _Ctx):
             if n.type == ELEMENT_NODE:
                 stack.extend(reversed(n.children))
     for pred in preds:
-        out = [n for n in out if _to_bool(_eval(pred, n, 1, 1, ctx))]
+        simple = _compile_simple_pred(pred)
+        if simple is not None:
+            out = [n for n in out if simple(n)]
+        else:
+            out = [n for n in out if _to_bool(_eval(pred, n, 1, 1, ctx))]
     return out
 
 
