@@ -313,6 +313,60 @@ def q_multipage(spark, sf_dir):
     return out.select("url", "n_pages", "title")
 
 
+def q_curation(spark, sf_dir):
+    """End-to-end corpus curation: keep docs that pass quality + lang-ID
+    + exact-dedup canonicalization — the composite filter a training-data
+    pipeline runs before tokenization."""
+    from article_extractor_spark.operators.dedup import exact_duplicates
+    from article_extractor_spark.operators.textstats import (language_id,
+                                                             quality_score)
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality", "n_words")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    dups = exact_duplicates(docs).select(
+        F.col("text_hash"), F.col("canonical_id"))
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    keep = (
+        hashed.join(F.broadcast(dups), "text_hash", "left")
+        .where(
+            F.col("canonical_id").isNull()
+            | (F.col("canonical_id") == F.col("doc_id"))
+        )
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .where((F.col("quality") >= 0.3) & (F.col("n_words") >= 20))
+    )
+    return keep.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Event sessionization (30-min inactivity gap) — the window-function
+    counterpart of the streaming path, on the driver's events table."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    with_break = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("brk"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sess = with_break.withColumn("session_no", F.sum("brk").over(w2))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long")))
+        .alias("duration_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_fragments": q_clean_fragments,
@@ -339,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "media_stats": q_media_stats,
+        "curation": q_curation,
+        "sessionize": q_sessionize,
     }
 
 
@@ -682,6 +738,81 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
     sql["lang_id"] = _lang_sql()
+
+    langs = list(_LANG_WORDS)
+    lang_scores_inner = []
+    for lang, words in _LANG_WORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        lang_scores_inner.append(
+            f"round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"t -> list_contains([{arr}], t))) * 1.0 / "
+            f"greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1), 6) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    en_arr = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
+    sql["curation"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS n_words,
+         round(least(len(regexp_split_to_array(lower(text), '\\s+')) / 100.0, 1.0) * 0.4
+               + round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> list_contains([{en_arr}], t))) * 1.0 /
+                       greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1), 6) * 0.4
+               + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                            greatest(length(text), 1) > 0.001
+                        AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+                            greatest(length(text), 1) < 0.2
+                       THEN 0.2 ELSE 0.0 END), 6) AS quality
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, {pred} AS pred_lang
+  FROM (SELECT doc_id, {', '.join(lang_scores_inner)} FROM documents) s
+),
+dups AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+),
+hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+keep AS (
+  SELECT h.doc_id FROM hashed h
+  LEFT JOIN dups d ON d.text_hash = h.text_hash
+  WHERE d.canonical_id IS NULL OR d.canonical_id = h.doc_id
+)
+SELECT l.pred_lang, count(*) AS n_docs,
+       round(avg(q.quality), 6) AS avg_quality,
+       sum(q.n_words) AS total_words
+FROM keep k
+JOIN q ON q.doc_id = k.doc_id
+JOIN lang l ON l.doc_id = k.doc_id
+WHERE q.quality >= 0.3 AND q.n_words >= 20
+GROUP BY 1
+"""
+
+    sql["sessionize"] = """
+WITH w1 AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+w2 AS (
+  SELECT user_id, event_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM w1
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT)
+         AS duration_sec
+FROM w2 GROUP BY 1, 2
+"""
 
     en_arr = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
     sql["quality"] = f"""
