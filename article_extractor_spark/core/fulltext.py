@@ -369,23 +369,41 @@ def prep_content(ctx: Context, config: ConfigEntry | None,
     util.strip_node(ctx, "//*[contains(@style,'display: none')]")
     remove_attribute(ctx, None, "style")
 
-    util.strip_node(ctx, "//form")
-    util.strip_node(ctx, "//input")
-    util.strip_node(ctx, "//textarea")
-    util.strip_node(ctx, "//select")
-    util.strip_node(ctx, "//button")
+    # The 13 unconditional tag strips + comment strip are fused into ONE
+    # collection DFS and processed in the reference's exact order.  This is
+    # result-equivalent to sequential strip_node calls: removals of other
+    # tags never change a tag's own match set observably (unlinking an
+    # already-detached node is a no-op), and the two live XPath strips in
+    # the middle see the identical tree state as in the sequential chain.
+    collected: dict[str, list] = {
+        t: [] for t in ("form", "input", "textarea", "select", "button",
+                        "script", "style", "iframe", "object", "embed",
+                        "footer", "link", "aside")
+    }
+    comments: list = []
+    root_el = document.get_root_element()
+    if root_el is not None:
+        stack = [root_el]
+        while stack:
+            n = stack.pop()
+            if n.type == 1:  # element
+                lst = collected.get(n.name)
+                if lst is not None:
+                    lst.append(n)
+                if n.children:
+                    stack.extend(reversed(n.children))
+            elif n.type == 8:  # comment
+                comments.append(n)
 
-    util.strip_node(ctx, "//comment()")
-    util.strip_node(ctx, "//script")
-    util.strip_node(ctx, "//style")
+    for tag in ("form", "input", "textarea", "select", "button"):
+        util.strip_collected(collected[tag])
+    util.strip_collected(comments)
+    util.strip_collected(collected["script"])
+    util.strip_collected(collected["style"])
     util.strip_node(ctx, "//a[not(node())]")
     util.strip_node(ctx, "//*[@type='text/css']")
-    util.strip_node(ctx, "//iframe")
-    util.strip_node(ctx, "//object")
-    util.strip_node(ctx, "//embed")
-    util.strip_node(ctx, "//footer")
-    util.strip_node(ctx, "//link")
-    util.strip_node(ctx, "//aside")
+    for tag in ("iframe", "object", "embed", "footer", "link", "aside"):
+        util.strip_collected(collected[tag])
 
     root = document.get_root_element()
     if root is not None:

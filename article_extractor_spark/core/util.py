@@ -84,6 +84,21 @@ def strip_node(ctx: Context, xpath: str) -> None:
         node.unlink()
 
 
+def strip_collected(node_set: list) -> None:
+    """strip_node semantics over a pre-collected node list (doc order):
+    video-embed exemption + skip nodes whose ancestor is in the same set."""
+    ids = {id(n) for n in node_set}
+    for node in node_set:
+        tag_name = node.get_name()
+        if tag_name.upper() in constants.EMBED_TAG_NAMES and any(
+            constants.VIDEOS.search(value) for _n, value in node.get_attributes()
+        ):
+            continue
+        if _parent_part_of_result(node, ids):
+            continue
+        node.unlink()
+
+
 def _parent_part_of_result(node: Node, ids: set) -> bool:
     p = node.parent
     while p is not None:
