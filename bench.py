@@ -28,7 +28,7 @@ def build_spark(cpus: int):
         .appName("aes-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", os.environ.get("AES_ARROW_BATCH", "1024"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
