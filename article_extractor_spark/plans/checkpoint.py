@@ -114,5 +114,7 @@ def run_extraction_job(
         "buckets_skipped": len(done),
         "docs_total": docs_total,
         "elapsed_sec": round(elapsed, 3),
-        "docs_per_sec": round(docs_total / elapsed, 1) if elapsed > 0 else None,
+        "docs_per_sec": (
+            round(docs_total / elapsed, 1) if todo and elapsed > 0.001 else None
+        ),
     }
