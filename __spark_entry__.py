@@ -228,6 +228,15 @@ def q_ann_brute(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from article_extractor_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(emb, queries, k=5, num_centroids=8, n_probes=2)
+
+
 def q_ann_lsh(spark, sf_dir):
     from article_extractor_spark.operators.similarity import lsh_topk
 
@@ -386,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -727,6 +737,46 @@ scored AS (
          round({qdot} / ({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')}), 4)
            AS cosine
   FROM base e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    sql["ann_ivf"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cvec[i + 1] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT q_id, centroid_id, qv FROM (
+    SELECT e.vec_id AS q_id, c.centroid_id, e.embedding AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cvec[i + 1] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e, cents c
+    WHERE e.vec_id < 3
+  ) WHERE rk <= 2
+),
+scored AS (
+  SELECT p.q_id, e.vec_id,
+         round(list_sum(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(p.qv[i + 1] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id AND e.vec_id <> p.q_id
 ),
 ranked AS (
   SELECT q_id, vec_id, cosine,

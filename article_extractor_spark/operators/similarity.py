@@ -71,6 +71,70 @@ def hyperplane_bucket(emb: DataFrame, num_planes: int = 8,
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def ivf_assign(emb: DataFrame, num_centroids: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization with deterministic seed centroids (the first
+    ``num_centroids`` vectors by id): every vector is assigned to its
+    nearest centroid by cosine.  At scale the seed set would come from a
+    k-means pass; the inverted-list structure and probe logic are the
+    same."""
+    cents = emb.orderBy(id_col).limit(num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
+        _norm(vec_col).alias("cn"))
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nv"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", F.round(_dot("v", "cvec") / (F.col("nv") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, "centroid_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             num_centroids: int = 8, n_probes: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """IVF ANN: score only vectors whose inverted list (centroid) is among
+    the query's ``n_probes`` nearest centroids."""
+    assign = ivf_assign(emb, num_centroids, id_col, vec_col)
+    cents = emb.orderBy(id_col).limit(num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
+        _norm(vec_col).alias("cn"))
+    qscored = (
+        queries.select(F.col(qid_col), F.col(qvec_col).alias("qv"),
+                       _norm(qvec_col).alias("nq"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", F.round(_dot("qv", "cvec") / (F.col("nq") * F.col("cn")), 6))
+    )
+    wq = Window.partitionBy(qid_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qscored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= n_probes)
+        .select(qid_col, "centroid_id", "qv", "nq")
+    )
+    base = emb.join(assign.select(id_col, "centroid_id"), id_col).select(
+        F.col(id_col), F.col("centroid_id"), F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nv"))
+    scored = (
+        base.join(F.broadcast(probes), "centroid_id")
+        .where(F.col(id_col) != F.col(qid_col))
+        .withColumn("cosine", F.round(_dot("v", "qv") / (F.col("nv") * F.col("nq")), 4))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              num_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",

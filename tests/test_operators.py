@@ -155,3 +155,18 @@ def test_dedup_clusters(spark, docs):
     assert labels[0] == labels[1] == 0
     assert labels.get(2, 0) == 0
     assert 3 not in labels  # unique doc: no edges, not in any cluster
+
+
+def test_ivf_topk(spark):
+    from article_extractor_spark.operators.similarity import (brute_force_topk,
+                                                              ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = ivf_topk(emb, q, k=10, num_centroids=8, n_probes=2).collect()
+    assert 0 < len(ivf) <= 10
+    assert [r["rank"] for r in ivf] == list(range(1, len(ivf) + 1))
+    brute_ids = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    # probing 2/8 lists should still recover some of the true top-10
+    assert any(r["vec_id"] in brute_ids for r in ivf)
