@@ -346,9 +346,14 @@ def q_curation(spark, sf_dir):
         .join(lang, "doc_id")
         .where((F.col("quality") >= 0.3) & (F.col("n_words") >= 20))
     )
+    # avg over micro-unit integer sums: bit-identical to the oracle no
+    # matter the summation order (quality is already a 6-dp-rounded double,
+    # so round(quality*1e6) is never a .5 tie)
+    n = F.count(F.lit(1))
     return keep.groupBy("pred_lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        n.alias("n_docs"),
+        (F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).cast("double")
+         / F.lit(1e6) / n).alias("avg_quality"),
         F.sum("n_words").alias("total_words"),
     )
 
@@ -368,9 +373,13 @@ def q_sessionize(spark, sf_dir):
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, 0)
     sess = with_break.withColumn("session_no", F.sum("brk").over(w2))
+    # session_value sums 1e4-quantized integer units then divides once —
+    # deterministic (order-free) and bit-identical to the oracle; a true
+    # .5 tie in value*1e4 is impossible (5/1e5 is not dyadic)
     return sess.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        (F.sum(F.round(F.col("value") * 1e4).cast("bigint")).cast("double")
+         / F.lit(1e4)).alias("session_value"),
         (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long")))
         .alias("duration_sec"),
     )
@@ -580,7 +589,7 @@ FROM pages GROUP BY 1
 WITH {_PAGES_CTE.strip()}
 SELECT {h_url} % 16 AS bucket,
        count(*) AS doc_count,
-       sum(octet_length(encode(text))) AS sum_text_bytes
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_text_bytes
 FROM pages GROUP BY 1
 """
 
@@ -832,8 +841,9 @@ keep AS (
   WHERE d.canonical_id IS NULL OR d.canonical_id = h.doc_id
 )
 SELECT l.pred_lang, count(*) AS n_docs,
-       round(avg(q.quality), 6) AS avg_quality,
-       sum(q.n_words) AS total_words
+       CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 / count(*) AS avg_quality,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words
 FROM keep k
 JOIN q ON q.doc_id = k.doc_id
 JOIN lang l ON l.doc_id = k.doc_id
@@ -853,12 +863,13 @@ WITH w1 AS (
 ),
 w2 AS (
   SELECT user_id, event_id, ts, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM w1
 )
 SELECT user_id, session_no, count(*) AS n_events,
-       round(sum(value), 4) AS session_value,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         AS session_value,
        CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT)
          AS duration_sec
 FROM w2 GROUP BY 1, 2
@@ -962,8 +973,10 @@ typed AS (
               AS INTEGER) AS n_frames
   FROM decoded
 )
-SELECT kind, count(*) AS n_items, sum(n_bytes) AS total_bytes,
-       round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height,
+SELECT kind, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+       CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
        max(n_frames) AS max_frames
 FROM typed GROUP BY 1
 """

@@ -141,8 +141,23 @@ def extract_articles(
     if num_partitions:
         key = F.xxhash64(F.col("url"))
         if salt_buckets > 0:
-            key = F.xxhash64(F.col("url"), (F.rand(seed=42) * salt_buckets).cast("int"))
+            # Deterministic salt: derived purely from row DATA, never from
+            # rand()/partition position — a rand-based repartition key can
+            # duplicate or drop rows when an upstream task is retried after
+            # the exchange partially materialized.  Re-crawl skew (many rows
+            # per url) is spread by the fetch timestamp when the source has
+            # one (input_hint schema: warc_ts), else by the payload hash.
+            tiebreak = (
+                F.col("warc_ts") if "warc_ts" in pages.columns else F.col("html")
+            )
+            salt = F.pmod(F.xxhash64(F.col("url"), tiebreak),
+                          F.lit(salt_buckets))
+            if "warc_ts" in pages.columns:
+                projected = pages.select("url", "html", "warc_ts")
+            key = F.xxhash64(F.col("url"), salt)
         projected = projected.repartition(num_partitions, key)
+        if salt_buckets > 0 and "warc_ts" in pages.columns:
+            projected = projected.select("url", "html")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _extract_batches(batches, entries.value)

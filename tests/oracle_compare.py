@@ -11,14 +11,28 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+STRICT = os.environ.get("ORACLE_STRICT", "1") != "0"
+
+
 def normalize(rows, columns):
+    """Row normalizer. STRICT mode (default) reprs floats exactly — no
+    rounding — because the driver's value hash is exact: any float that is
+    not bit-identical on both sides is a real failure. Set ORACLE_STRICT=0
+    for the legacy 6-dp-rounded comparison."""
+    import numpy as np
+
     out = []
     for row in rows:
         vals = []
         for c in columns:
             v = row[c]
+            if isinstance(v, np.generic):
+                v = v.item()
             if isinstance(v, float):
-                v = round(v, 6)
+                if v != v:  # NaN
+                    v = "NaN"
+                elif not STRICT:
+                    v = round(v, 6)
             if hasattr(v, "isoformat"):
                 v = v.isoformat()
             vals.append(repr(v))
@@ -71,8 +85,15 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = sorted(d[0] for d in res.description)
-            drows = [dict(zip([d[0] for d in res.description], r))
-                     for r in res.fetchall()]
+            if STRICT:
+                # pandas path, like the driver: DuckDB HUGEINT (un-cast
+                # sum()) becomes float64 here and will visibly mismatch a
+                # Spark bigint — exactly the class of bug we must catch
+                dpdf = res.df()
+                drows = dpdf.to_dict("records")
+            else:
+                drows = [dict(zip([d[0] for d in res.description], r))
+                         for r in res.fetchall()]
         except Exception as e:
             failures.append(name)
             print(f"[DUCK-ERR] {name}: {str(e)[:300]}")

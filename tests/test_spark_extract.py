@@ -118,6 +118,29 @@ def test_checkpoint_resume_exact(spark, tmp_path):
     pages.unpersist()
 
 
+def test_salted_repartition_deterministic(spark):
+    """The salted repartition key must be a pure function of row DATA —
+    never rand()/partition position, which can duplicate or lose rows when
+    a task retries after the exchange partially materialized.  Checks the
+    physical plan contains no rand and that two runs give identical
+    url->partition assignment and exact row conservation."""
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(60).cache()
+    arts = extract_articles(pages, num_partitions=4, salt_buckets=8)
+    plan = arts._jdf.queryExecution().executedPlan().toString()
+    assert "rand(" not in plan.lower()
+
+    run1 = {r["url"]: r["part_id"] for r in arts.select("url", "part_id").collect()}
+    run2 = {r["url"]: r["part_id"]
+            for r in extract_articles(pages, num_partitions=4, salt_buckets=8)
+            .select("url", "part_id").collect()}
+    assert run1 == run2
+    assert len(run1) == 60  # no rows duplicated or lost
+    pages.unpersist()
+
+
 def test_plan_pushes_projection(spark, tmp_path):
     """Column pruning must reach the parquet scan: ReadSchema only url,html."""
     from article_extractor_spark.operators.extract import extract_articles
