@@ -519,8 +519,9 @@ def _lang_sql() -> str:
         f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
     ) + " END"
     return f"""
-WITH scored AS (
-  SELECT doc_id, {', '.join(score_cols)} FROM documents
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM docs
 )
 SELECT doc_id, {', '.join(f'score_{l}' for l in langs)}, {pred} AS pred_lang
 FROM scored
@@ -812,7 +813,8 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
         f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
     en_arr = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
     sql["curation"] = f"""
-WITH q AS (
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+q AS (
   SELECT doc_id,
          len(regexp_split_to_array(lower(text), '\\s+')) AS n_words,
          round(least(len(regexp_split_to_array(lower(text), '\\s+')) / 100.0, 1.0) * 0.4
@@ -824,11 +826,11 @@ WITH q AS (
                         AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
                             greatest(length(text), 1) < 0.2
                        THEN 0.2 ELSE 0.0 END), 6) AS quality
-  FROM documents
+  FROM docs
 ),
 lang AS (
   SELECT doc_id, {pred} AS pred_lang
-  FROM (SELECT doc_id, {', '.join(lang_scores_inner)} FROM documents) s
+  FROM (SELECT doc_id, {', '.join(lang_scores_inner)} FROM docs) s
 ),
 dups AS (
   SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id
@@ -877,6 +879,7 @@ FROM w2 GROUP BY 1, 2
 
     en_arr = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
     sql["quality"] = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        length(text) AS n_chars,
        len(regexp_split_to_array(lower(text), '\\s+')) AS n_words,
@@ -898,10 +901,11 @@ SELECT doc_id,
                       AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
                           greatest(length(text), 1) < 0.2
                      THEN 0.2 ELSE 0.0 END), 6) AS quality
-FROM documents
+FROM docs
 """
 
     sql["token_counts"] = r"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        len(regexp_split_to_array(text, '\s+')) AS n_words,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
@@ -909,16 +913,17 @@ SELECT doc_id,
        round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0 /
              greatest(len(regexp_split_to_array(text, '\s+')), 1), 6)
          AS subtokens_per_word
-FROM documents
+FROM docs
 """
 
     sql["fingerprint"] = """
-WITH grams AS (
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+grams AS (
   SELECT doc_id,
          list_transform(
            range(1, greatest(least(length(text), 256) - 7, 1) + 1),
            i -> substr(text, i, 8)) AS gs
-  FROM documents
+  FROM docs
 )
 SELECT doc_id,
        list_min(list_transform(gs,

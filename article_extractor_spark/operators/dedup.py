@@ -101,14 +101,38 @@ def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
     )
 
 
+def _prune_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Keep only (band, band_hash) buckets that can produce pairs (size>=2)
+    and are below the degenerate-bucket cap.  A boilerplate-heavy corpus
+    can put millions of docs in one bucket; its self-join is quadratic, so
+    at 100 TB an uncapped bucket is a job-killer.  Dropped buckets lose
+    candidate pairs by design (they are near-certain boilerplate, handled
+    by exact dedup); singleton pruning is a pure optimization.
+
+    The size groupBy and the semi-join shuffle on the same key the
+    downstream self-join needs, so AQE co-partitions them — no extra
+    exchange of the bands table."""
+    sizes = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket_size))
+        .select("band", "band_hash")
+    )
+    return bands.join(sizes, ["band", "band_hash"], "left_semi")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_bands: int = 16,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_bucket_size: int = 100_000) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any (band, band_hash)
-    bucket.  Returns (a_id, b_id, n_shared_bands)."""
+    bucket.  Returns (a_id, b_id, n_shared_bands).  Buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (skew insurance;
+    see :func:`_prune_buckets`)."""
     bands = minhash_band_hashes(
         word_shingles(df, text_col, id_col, shingle_n), num_bands, id_col
     )
+    bands = _prune_buckets(bands, max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -124,9 +148,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidates: join shingle sets of the
-    candidate pairs only (bounded fan-out), jaccard = |∩| / (|a|+|b|-|∩|)."""
+                        threshold: float = 0.5,
+                        max_shingle_df: int = 100_000) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates:
+    jaccard = |∩| / (|a|+|b|-|∩|).
+
+    The intersection is keyed on ``shingle`` FIRST: postings restricted to
+    candidate docs are self-joined on the shingle value, then the resulting
+    co-occurrence counts are filtered to the candidate pairs.  The earlier
+    formulation joined candidates to the full shingle list of side `a`
+    before any shingle match, materializing |cands| x |shingles(a)| rows —
+    the suite's dominant cost and unbounded at corpus scale.
+
+    ``max_shingle_df`` drops shingles present in more than that many
+    documents (stopword n-grams / boilerplate) before the intersection —
+    they contribute a quadratic df² blowup while carrying almost no
+    near-dup signal.  Set-size denominators still use the FULL shingle
+    sets, so when the cap binds, jaccard is slightly underestimated (never
+    overestimated)."""
     shingles = word_shingles(df, text_col, id_col, shingle_n).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # candidate pairs from the same cached shingles (no recompute)
@@ -139,13 +178,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    sa = shingles.withColumnRenamed(id_col, "a_id")
-    sb = shingles.withColumnRenamed(id_col, "b_id")
+    # hot-shingle guard: the df groupBy shuffles on shingle, the same key
+    # the intersection join needs (co-partitioned); the hot set is tiny so
+    # the anti-join broadcasts
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_shingle_df)
+        .select("shingle")
+    )
+    # postings limited to docs that appear in any candidate pair
+    sa = (
+        shingles.withColumnRenamed(id_col, "a_id")
+        .join(cands.select("a_id").distinct(), "a_id", "left_semi")
+        .join(F.broadcast(hot), "shingle", "left_anti")
+    )
+    sb = (
+        shingles.withColumnRenamed(id_col, "b_id")
+        .join(cands.select("b_id").distinct(), "b_id", "left_semi")
+        .join(F.broadcast(hot), "shingle", "left_anti")
+    )
     shared = (
-        cands.join(sa, "a_id")
-        .join(sb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        sa.join(sb, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")           # map-side combine before the
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # candidate filter
+        .join(cands, ["a_id", "b_id"], "left_semi")
     )
     za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_shingles", "na")
     zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_shingles", "nb")
@@ -191,11 +249,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def dedup_clusters(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", num_bands: int = 8,
                    max_iterations: int = 50) -> DataFrame:
-    """Connected components over the near-duplicate pair graph: every doc
-    is assigned the min doc id of its duplicate cluster (the canonical
-    survivor).  Iterative min-label propagation over the symmetric edge
-    list — each round is one join+groupBy; rounds = O(graph diameter),
-    bounded by ``max_iterations`` (near-dup clusters are tiny in practice).
+    """Connected components over the near-duplicate pair graph: each doc
+    THAT APPEARS IN A CANDIDATE PAIR is assigned the min doc id of its
+    duplicate cluster (the canonical survivor).  Docs with no near-dup
+    candidates are NOT in the output — callers needing full coverage should
+    left-join back to ``df`` and default ``cluster_id`` to ``doc_id``
+    (the DuckDB oracle shares the pairs-only semantic).  Iterative
+    min-label propagation over the symmetric edge list — each round is one
+    join+groupBy; rounds = O(graph diameter), bounded by
+    ``max_iterations`` (near-dup clusters are tiny in practice).
 
     At 100 TB scale this is the standard alternating-large-star style loop:
     edges shuffle on doc id (uniform), labels broadcast-sized per cluster."""
@@ -252,8 +314,11 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
             F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x))
 
+    # block_col=None -> unblocked comparison via a constant key (full
+    # pairwise; only sane for small inputs — pass a block key at scale)
+    blk = F.col(block_col) if block_col is not None else F.lit(0)
     with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), F.col(block_col).alias("_blk"),
+        F.col(id_col), F.col(vec_col), blk.alias("_blk"),
         norm(vec_col).alias("_n"),
     )
     a = with_norm.select(

@@ -53,17 +53,26 @@ def hyperplane_bucket(emb: DataFrame, num_planes: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Sign-bit bucket id per vector.  Plane p's weight for dimension d is
     hash-derived ±1 (deterministic, no stored model):
-    sign(md5(p:d) lowest bit)."""
-    dims = emb.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
-    dims = dims.withColumn("x", F.col("x").cast("double"))
-    plane_terms = []
+    sign(md5(p:d) lowest bit).
+
+    Entirely a single per-row projection — plane sums are computed with a
+    two-arg ``transform`` (element, index) folded by ``aggregate`` over the
+    embedding array.  Zero shuffle and zero row blowup; the earlier
+    posexplode+groupBy formulation multiplied the row count by |dims|
+    (768× at embedding scale) and forced a full exchange for a value that
+    is a pure per-row function."""
+    plane_sums = []
     for p in range(num_planes):
-        w = F.when(
-            F.expr(f"cast(conv(substr(md5(concat('{p}', ':', d)), 1, 15), 16, 10) as bigint) % 2")
-            == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-        plane_terms.append(F.sum(F.col("x") * w).alias(f"p{p}"))
-    sums = dims.groupBy(id_col).agg(*plane_terms)
+        weighted = F.expr(
+            f"transform({vec_col}, (x, d) -> CAST(x AS DOUBLE) * "
+            f"(CASE WHEN cast(conv(substr(md5(concat('{p}', ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0 "
+            f"THEN 1.0D ELSE -1.0D END))"
+        )
+        plane_sums.append(
+            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+            .alias(f"p{p}")
+        )
+    sums = emb.select(F.col(id_col), *plane_sums)
     bucket = None
     for p in range(num_planes):
         term = F.when(F.col(f"p{p}") > 0, F.lit(1 << p)).otherwise(0)

@@ -19,7 +19,12 @@ LANG_WORDS = {
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """n-gram/stopword-ratio language ID: score(lang) = hits/|tokens|;
-    argmax with lexicographic tie-break.  One projection, zero shuffles."""
+    argmax with lexicographic tie-break.  One projection, zero shuffles.
+
+    NULL text is treated as '' (mirrored in the DuckDB oracle) — without
+    the coalesce, size(split(NULL)) = -1 leaks a -1.0 score and a bogus
+    first-language prediction."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     cols = [F.col(id_col)]
     for lang, words in LANG_WORDS.items():
@@ -49,7 +54,9 @@ def language_id(df: DataFrame, text_col: str = "text",
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + a composite score:
-    length, punctuation ratio, stopword ratio, mean word length."""
+    length, punctuation ratio, stopword ratio, mean word length.
+    NULL text is treated as '' (mirrored in the oracle)."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     n_chars = F.length(F.col(text_col))
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n_words = F.size(toks)
@@ -83,7 +90,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace word count + BPE-ish subtoken count (letter runs, digit
-    runs, single punctuation = one token each)."""
+    runs, single punctuation = one token each).
+    NULL text is treated as '' (mirrored in the oracle)."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     words = F.size(F.split(F.col(text_col), r"\s+"))
     subtokens = F.size(
         F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
@@ -100,7 +109,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 window: int = 8, prefix: int = 256) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style min over character
     k-gram hashes of the first `prefix` chars) + distinct gram count.
-    JVM-side: sequence+transform generates the gram array, no explode."""
+    JVM-side: sequence+transform generates the gram array, no explode.
+    NULL text is treated as '' (mirrored in the oracle)."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     grams = F.expr(
         f"transform(sequence(1, greatest(least(length({text_col}), {prefix}) - {window - 1}, 1)), "
         f"i -> substr({text_col}, i, {window}))"

@@ -31,11 +31,16 @@ def with_bucket(pages: DataFrame, num_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
-    if os.path.isdir(checkpoint_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(checkpoint_dir)
-    ):
+    """Distinct buckets recorded in the checkpoint table, or empty if none.
+
+    Reads through Spark's Hadoop filesystem layer so resume works for ANY
+    URI the job can write to (s3a://, hdfs://, local) — an os.path probe
+    silently returns empty for remote paths, turning the advertised exact
+    resume into a full reprocess."""
+    try:
         return spark.read.parquet(checkpoint_dir).select("bucket").distinct()
-    return spark.createDataFrame([], "bucket int")
+    except Exception:  # AnalysisException: path missing / no parquet yet
+        return spark.createDataFrame([], "bucket int")
 
 
 def mark_completed(spark: SparkSession, checkpoint_dir: str, buckets: list[int],
@@ -108,13 +113,20 @@ def run_extraction_job(
 
     out = spark.read.parquet(articles_dir)
     docs_total = out.count()
+    # throughput counts only the buckets THIS run processed — on a resume,
+    # docs completed by earlier runs are in articles_dir but cost this run
+    # no time, so including them would inflate docs_per_sec
+    docs_this_run = (
+        out.where(F.col("bucket").isin(todo)).count() if todo else 0
+    )
     return {
         "run_id": run_id,
         "buckets_processed": len(todo),
         "buckets_skipped": len(done),
         "docs_total": docs_total,
+        "docs_this_run": docs_this_run,
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": (
-            round(docs_total / elapsed, 1) if todo and elapsed > 0.001 else None
+            round(docs_this_run / elapsed, 1) if todo and elapsed > 0.001 else None
         ),
     }

@@ -30,6 +30,35 @@ def test_ftr_golden(name, host):
     assert art.html == expected
 
 
+def test_user_config_dir_overrides_embedded(tmp_path):
+    """`config_collection.rs:35-69` precedence: a user-dir entry with the
+    same filename shadows the embedded one, both at lookup and through a
+    full parse; hosts without a user entry still resolve embedded."""
+    from article_extractor_spark.core.config import ConfigCollection
+    from article_extractor_spark.core.fulltext import FullTextParser
+
+    (tmp_path / "phoronix.com.txt").write_text(
+        "title: //h2[@id='user-title']\nbody: //div[@id='user-body']\n",
+        encoding="utf-8",
+    )
+    coll = ConfigCollection(user_directory=str(tmp_path))
+    over = coll.get("phoronix.com.txt")
+    assert over is not None and over.xpath_title == ["//h2[@id='user-title']"]
+    # embedded entry unchanged for other hosts
+    assert coll.get("golem.de.txt") is not None
+    assert coll.get("golem.de.txt").xpath_title != over.xpath_title
+
+    parser = FullTextParser(coll)
+    art = parser.parse_offline(
+        ["<html><body><h2 id='user-title'>User Title</h2>"
+         "<div id='user-body'><p>User body text here.</p></div>"
+         "<div id='content'><p>Embedded-config body.</p></div></body></html>"],
+        url=Url.parse("https://www.phoronix.com/article"),
+    )
+    assert art.title == "User Title"
+    assert "User body text here." in (art.html or "")
+
+
 def test_config_grammar():
     entry = parse_config_text(
         "# comment\n"

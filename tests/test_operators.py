@@ -64,6 +64,42 @@ def test_ngram_jaccard_values(spark, docs):
     assert near is not None and 0.2 <= near["jaccard"] < 1.0
 
 
+def test_lsh_bucket_cap_binds(spark):
+    """Degenerate corpus: many identical docs land in one (band, band_hash)
+    bucket.  With the cap above the bucket size all pairs appear; with the
+    cap below it the bucket is dropped and produces no pairs — the 100 TB
+    quadratic-bucket insurance actually binds."""
+    from article_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    clones = spark.createDataFrame(
+        [(i, "boilerplate cookie banner accept all cookies to continue")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(clones, num_bands=4, max_bucket_size=100).count()
+    assert uncapped == 12 * 11 // 2
+    capped = minhash_lsh_pairs(clones, num_bands=4, max_bucket_size=11).count()
+    assert capped == 0
+
+
+def test_jaccard_shingle_df_cap_binds(spark):
+    """Hot-shingle guard: with a df cap below the corpus-wide shingle
+    frequency, shared counts drop (jaccard underestimates, never over)."""
+    from article_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    clones = spark.createDataFrame(
+        [(i, "boilerplate cookie banner accept all cookies to continue")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    full = ngram_jaccard_pairs(clones, threshold=0.5, max_shingle_df=100)
+    assert full.count() == 8 * 7 // 2
+    assert all(r["jaccard"] == 1.0 for r in full.collect())
+    # every shingle appears in all 8 docs -> df cap of 7 drops them all
+    capped = ngram_jaccard_pairs(clones, threshold=0.5, max_shingle_df=7)
+    assert capped.count() == 0
+
+
 def test_simhash_similarity(spark, docs):
     from article_extractor_spark.operators.dedup import simhash
 
@@ -91,6 +127,33 @@ def test_ann_brute_and_lsh_agree_on_top1(spark):
     assert len(lsh) > 0
     brute_ids = {r["vec_id"] for r in brute}
     assert any(r["vec_id"] in brute_ids for r in lsh[:5])
+
+
+def test_null_text_treated_as_empty(spark):
+    """NULL text must behave exactly like '' in every textstats operator
+    (Spark's size(split(NULL)) = -1 would otherwise leak negative scores
+    and a bogus pred_lang) and block_col=None must not crash near-dups."""
+    from article_extractor_spark.operators.dedup import embedding_near_dups
+    from article_extractor_spark.operators.textstats import (fingerprint,
+                                                             language_id,
+                                                             quality_score,
+                                                             token_counts)
+
+    nulls = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string")
+    for op in (language_id, quality_score, token_counts, fingerprint):
+        rows = {r["doc_id"]: r.asDict() for r in op(nulls).collect()}
+        r0, r1 = rows[0], rows[1]
+        r0.pop("doc_id"), r1.pop("doc_id")
+        assert r0 == r1, f"{op.__name__}: NULL != '' -> {r0} vs {r1}"
+        assert all(v is None or not (isinstance(v, (int, float)) and v < 0)
+                   for v in r0.values())
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    pairs = embedding_near_dups(emb, threshold=0.9, block_col=None).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(0, 1)}
 
 
 def test_language_id(spark, docs):
