@@ -48,16 +48,16 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
+    # per-doc dedup happens IN-ROW (array_distinct before the explode):
+    # a DataFrame-level .distinct() here would shuffle |docs|x|grams| rows
+    # for a property that is local to each document
     grams = F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) "
         f"ELSE array() END"
     )
-    return (
-        toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
@@ -109,16 +109,18 @@ def _prune_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     candidate pairs by design (they are near-certain boilerplate, handled
     by exact dedup); singleton pruning is a pure optimization.
 
-    The size groupBy and the semi-join shuffle on the same key the
-    downstream self-join needs, so AQE co-partitions them — no extra
-    exchange of the bands table."""
-    sizes = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
+    Implemented as a COUNT window over (band, band_hash) — one lineage,
+    partitioned on the key the downstream self-join shuffles on anyway.
+    (A groupBy+semi-join formulation re-executes the expensive minhash
+    lineage once per branch: measured 4x the whole-operator cost.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
         .where((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket_size))
-        .select("band", "band_hash")
+        .drop("_bsz")
     )
-    return bands.join(sizes, ["band", "band_hash"], "left_semi")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -132,7 +134,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bands = minhash_band_hashes(
         word_shingles(df, text_col, id_col, shingle_n), num_bands, id_col
     )
-    bands = _prune_buckets(bands, max_bucket_size)
+    # cached: the self-join otherwise executes the minhash-signature
+    # lineage once per side (2x the operator's dominant cost); at cluster
+    # scale this persist is the standard LSH pattern (memory+disk spill)
+    bands = _prune_buckets(bands, max_bucket_size).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -168,14 +173,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     overestimated)."""
     shingles = word_shingles(df, text_col, id_col, shingle_n).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    # candidate pairs from the same cached shingles (no recompute)
-    bands = minhash_band_hashes(shingles, 16, id_col)
+    # candidate pairs from the same cached shingles (no recompute); bands
+    # cached so the candidate self-join computes the minhash aggs once,
+    # with the same degenerate-bucket cap as minhash_lsh_pairs
+    bands = _prune_buckets(
+        minhash_band_hashes(shingles, 16, id_col), max_bucket_size=100_000
+    ).cache()
+    # cached: referenced three times below (sa/sb posting restriction +
+    # the final pair filter) — uncached, each reference re-executes the
+    # full minhash-signature lineage (measured ~3x operator cost)
     cands = (
         bands.alias("a").join(bands.alias("b"), ["band", "band_hash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("a_id"),
                 F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
+        .cache()
     )
 
     # hot-shingle guard: the df groupBy shuffles on shingle, the same key
@@ -222,23 +235,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-document SimHash: tokens hashed to `bits`-bit vectors; bit i of
-    the fingerprint is the sign of sum over tokens of (+1/-1).  All bit math
-    stays in JVM expressions; one shuffle (groupBy doc)."""
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .withColumn("th", _h("tok", "sim"))
+    the fingerprint is the sign of sum over tokens of (+1/-1).
+
+    Entirely per-row: each doc's token hashes are materialized once as an
+    array column, then each bit's ±1 sum is an ``aggregate`` fold over it —
+    zero shuffle and zero row blowup (the earlier explode+groupBy
+    multiplied rows by |tokens| and forced an exchange for a value that is
+    a pure function of the row)."""
+    # token hash array computed ONCE per row (not once per bit)
+    th = F.expr(
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), t -> t != ''), "
+        f"t -> cast(conv(substr(md5(concat('sim', ':', t)), 1, 15), 16, 10) as bigint))"
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    # docs with no tokens are absent (same as the grouped formulation and
+    # the oracle, where zero token rows -> no group)
+    hashed = df.select(F.col(id_col), th.alias("_th")).where(F.size("_th") > 0)
+    def _bit_sum(i):
+        return F.aggregate(
+            F.col("_th"), F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(i).alias(f"s{i}") for i in range(bits)]
+    sums = hashed.select(F.col(id_col), *bit_sums)
     fp = None
     for i in range(bits):
         term = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)

@@ -49,29 +49,53 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _plane_weights(num_planes: int, dims: int) -> list[list[float]]:
+    """±1 hyperplane weights, hash-derived per (plane, dim): weight is
+    +1 iff the low bit of md5('p:d')[:15 hex] is 0 — the exact expression
+    the DuckDB oracle and the previous in-plan formulation evaluate, now
+    computed once on the driver instead of per row."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_bucket(emb: DataFrame, num_planes: int = 8,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dims: int | None = None) -> DataFrame:
     """Sign-bit bucket id per vector.  Plane p's weight for dimension d is
     hash-derived ±1 (deterministic, no stored model):
     sign(md5(p:d) lowest bit).
 
-    Entirely a single per-row projection — plane sums are computed with a
-    two-arg ``transform`` (element, index) folded by ``aggregate`` over the
-    embedding array.  Zero shuffle and zero row blowup; the earlier
-    posexplode+groupBy formulation multiplied the row count by |dims|
-    (768× at embedding scale) and forced a full exchange for a value that
-    is a pure per-row function."""
-    plane_sums = []
-    for p in range(num_planes):
-        weighted = F.expr(
-            f"transform({vec_col}, (x, d) -> CAST(x AS DOUBLE) * "
-            f"(CASE WHEN cast(conv(substr(md5(concat('{p}', ':', d)), 1, 15), 16, 10) as bigint) % 2 = 0 "
-            f"THEN 1.0D ELSE -1.0D END))"
-        )
-        plane_sums.append(
-            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
-            .alias(f"p{p}")
-        )
+    Entirely a single per-row projection: weights are baked as literal
+    arrays (computed once on the driver) and each plane sum is a
+    ``zip_with`` product folded by ``aggregate`` over the embedding array.
+    Zero shuffle and zero row blowup — the earlier posexplode+groupBy
+    formulation multiplied rows by |dims| (768× at embedding scale) and
+    exchanged them for a value that is a pure per-row function; even the
+    in-plan md5-per-element variant re-hashed |dims|×|planes| times per
+    row.  Assumes a fixed embedding dimension (peeked from the first row
+    when ``dims`` is not given), which is an invariant of any real
+    embedding column."""
+    if dims is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("_d")).first()
+        dims = int(row["_d"]) if row is not None and row["_d"] is not None else 1
+    ws = _plane_weights(num_planes, dims)
+    plane_sums = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(w) for w in ws[p]]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias(f"p{p}")
+        for p in range(num_planes)
+    ]
     sums = emb.select(F.col(id_col), *plane_sums)
     bucket = None
     for p in range(num_planes):
@@ -80,16 +104,25 @@ def hyperplane_bucket(emb: DataFrame, num_planes: int = 8,
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
-def ivf_assign(emb: DataFrame, num_centroids: int = 8,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization with deterministic seed centroids (the first
-    ``num_centroids`` vectors by id): every vector is assigned to its
-    nearest centroid by cosine.  At scale the seed set would come from a
+def ivf_centroids(emb: DataFrame, num_centroids: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic seed centroids (the first ``num_centroids`` vectors by
+    id) with precomputed norms.  At scale the seed set would come from a
     k-means pass; the inverted-list structure and probe logic are the
     same."""
-    cents = emb.orderBy(id_col).limit(num_centroids).select(
+    return emb.orderBy(id_col).limit(num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
         _norm(vec_col).alias("cn"))
+
+
+def ivf_assign(emb: DataFrame, num_centroids: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cents: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantization: every vector is assigned to its nearest
+    centroid by cosine (pass precomputed ``cents`` to avoid re-deriving
+    the seed set)."""
+    if cents is None:
+        cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
     scored = (
         emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nv"))
         .join(F.broadcast(cents))
@@ -110,10 +143,8 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
     """IVF ANN: score only vectors whose inverted list (centroid) is among
     the query's ``n_probes`` nearest centroids."""
-    assign = ivf_assign(emb, num_centroids, id_col, vec_col)
-    cents = emb.orderBy(id_col).limit(num_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
-        _norm(vec_col).alias("cn"))
+    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    assign = ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
     qscored = (
         queries.select(F.col(qid_col), F.col(qvec_col).alias("qv"),
                        _norm(qvec_col).alias("nq"))

@@ -99,10 +99,20 @@ def test_save_html_files(spark, tmp_path):
 def test_salted_repartition_spreads_skew(spark):
     from article_extractor_spark.operators.extract import extract_articles
 
-    # one mega-url repeated: without salt all rows land in one partition
+    # one mega-url re-crawled 64 times (distinct warc_ts, the input_hint
+    # schema): without salt all rows land in one partition; the
+    # DATA-DERIVED salt (url, warc_ts) spreads them deterministically.
+    # NB: byte-identical rows (same url AND same ts) intentionally stay
+    # together — a deterministic salt cannot and should not split them
+    # (exact dups are dedup's job; rand() salts corrupt on task retry).
+    import datetime
+
     html = b"<html><body><p>tiny</p></body></html>"
-    rows = [("https://hot.example.com/a", bytearray(html))] * 64
-    pages = spark.createDataFrame(rows, "url string, html binary")
+    base = datetime.datetime(2026, 1, 1)
+    rows = [("https://hot.example.com/a", base + datetime.timedelta(hours=i),
+             bytearray(html)) for i in range(64)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
     salted = extract_articles(pages, num_partitions=8, salt_buckets=8)
     parts = salted.select("part_id").distinct().count()
     assert parts >= 4  # skewed key spread across partitions
