@@ -34,7 +34,8 @@ COMMENT_NODE = 8
 
 
 class Node:
-    __slots__ = ("type", "name", "attrs", "children", "parent", "text", "doc")
+    __slots__ = ("type", "name", "attrs", "children", "parent", "text", "doc",
+                 "_idx")
 
     def __init__(self, type_: int, name: str = "", text: str = "", doc=None):
         self.type = type_
@@ -44,6 +45,7 @@ class Node:
         self.parent: Optional[Node] = None
         self.text = text
         self.doc = doc
+        self._idx = 0  # cached sibling index hint (validated before use)
 
     # ---- constructors -------------------------------------------------
     @staticmethod
@@ -80,14 +82,23 @@ class Node:
         """xmlNodeGetContent: concatenated descendant text (CDATA incl)."""
         if self.type in (TEXT_NODE, CDATA_NODE, COMMENT_NODE, PI_NODE):
             return self.text
+        ch = self.children
+        # hot-path shortcuts: leaf element / single-text-child element
+        if not ch:
+            return ""
+        if len(ch) == 1:
+            c0 = ch[0]
+            if c0.type == TEXT_NODE or c0.type == CDATA_NODE:
+                return c0.text
         parts: List[str] = []
-        stack = list(reversed(self.children))
+        stack = ch[::-1]
         while stack:
             n = stack.pop()
-            if n.type == TEXT_NODE or n.type == CDATA_NODE:
+            t = n.type
+            if t == TEXT_NODE or t == CDATA_NODE:
                 parts.append(n.text)
-            elif n.type == ELEMENT_NODE:
-                stack.extend(reversed(n.children))
+            elif t == ELEMENT_NODE and n.children:
+                stack.extend(n.children[::-1])
         return "".join(parts)
 
     def set_content(self, content: str) -> None:
@@ -152,12 +163,27 @@ class Node:
         return None
 
     def _sibling_index(self) -> int:
-        # Linear scan; trees are small (single documents).
+        # Cached-hint lookup: the stored index is exact unless earlier
+        # siblings were inserted/removed since it was set, in which case it
+        # is off by a small shift — probe a window around the hint before
+        # falling back to a linear scan.  Sequential DFS walks (the
+        # readability prune pass calls next_sibling per node) would be
+        # O(siblings) per step with a plain list.index.
         assert self.parent is not None
-        for i, c in enumerate(self.parent.children):
-            if c is self:
-                return i
-        raise ValueError("node not in parent children")
+        ch = self.parent.children
+        n = len(ch)
+        i = self._idx
+        if 0 <= i < n and ch[i] is self:
+            return i
+        lo = i - 2 if i >= 2 else 0
+        hi = i + 3 if i + 3 < n else n
+        for j in range(lo, hi):
+            if ch[j] is self:
+                self._idx = j
+                return j
+        j = ch.index(self)  # ValueError if absent (same as before)
+        self._idx = j
+        return j
 
     def get_next_sibling(self) -> Optional["Node"]:
         if self.parent is None:
@@ -197,6 +223,7 @@ class Node:
     def add_child(self, child: "Node") -> None:
         child.unlink()
         child.parent = self
+        child._idx = len(self.children)
         self.children.append(child)
 
     def new_child(self, _ns, name: str) -> "Node":
@@ -219,6 +246,7 @@ class Node:
         new.unlink()
         i = ref._sibling_index()
         new.parent = self
+        new._idx = i
         self.children.insert(i, new)
 
     def replace_child_node(self, new: "Node", old: "Node") -> "Node":
@@ -228,18 +256,19 @@ class Node:
             raise ValueError("old is not a child of self")
         new.unlink()
         new.parent = self
+        new._idx = i
         self.children[i] = new
         old.parent = None
         return old
 
     # ---- traversal helpers -----------------------------------------------
     def iter_descendants(self) -> Iterator["Node"]:
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         while stack:
             n = stack.pop()
             yield n
             if n.type == ELEMENT_NODE:
-                stack.extend(reversed(n.children))
+                stack.extend(n.children[::-1])
 
     def ancestors(self) -> Iterator["Node"]:
         n = self.parent
@@ -276,9 +305,10 @@ class Document:
 def _deep_copy(node: Node, doc) -> Node:
     n = Node(node.type, name=node.name, text=node.text, doc=doc)
     n.attrs = dict(node.attrs)
-    for c in node.children:
+    for i, c in enumerate(node.children):
         cc = _deep_copy(c, doc)
         cc.parent = n
+        cc._idx = i
         n.children.append(cc)
     return n
 

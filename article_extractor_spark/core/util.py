@@ -153,19 +153,21 @@ def remove_and_next(node: Node) -> Node | None:
 
 
 def next_node(node: Node, ignore_self_and_kids: bool) -> Node | None:
+    # hot path of the readability prune walk: attribute access inlined
     if not ignore_self_and_kids:
-        first_child = node.get_first_child()
-        if first_child is not None:
-            return first_child
+        ch = node.children
+        if ch:
+            return ch[0]
     nxt = node.get_next_sibling()
     if nxt is not None:
         return nxt
     cur = node
     while True:
-        parent = cur.get_parent()
+        parent = cur.parent
         if parent is None or isinstance(parent, Document):
             return None
-        if parent.get_name().upper() == "HTML":
+        name = parent.name
+        if name == "html" or name.upper() == "HTML":
             return None
         nxt = parent.get_next_sibling()
         if nxt is not None:
@@ -279,18 +281,23 @@ def get_elements_by_tag_name(node: Node, tag: str) -> list[Node]:
     tag_lower = tag.lower()
     all_tags = tag == "*"
     vec: list[Node] = []
+    append = vec.append
     # iterative preorder DFS over element children (hot path)
-    stack = [c for c in reversed(node.children) if c.type == ELEMENT_NODE]
+    stack = [c for c in node.children[::-1] if c.type == ELEMENT_NODE]
+    pop = stack.pop
+    push = stack.append
     while stack:
-        child = stack.pop()
+        child = pop()
         # parse-time names are lowercase; renamed nodes are uppercase —
         # compare case-insensitively without allocating when possible
-        if all_tags or child.name == tag_lower or child.name.lower() == tag_lower:
-            vec.append(child)
-        if child.children:
-            stack.extend(
-                c for c in reversed(child.children) if c.type == ELEMENT_NODE
-            )
+        name = child.name
+        if all_tags or name == tag_lower or name.lower() == tag_lower:
+            append(child)
+        ch = child.children
+        if ch:
+            for c in ch[::-1]:
+                if c.type == ELEMENT_NODE:
+                    push(c)
     return vec
 
 

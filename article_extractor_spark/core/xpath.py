@@ -744,28 +744,39 @@ def _try_fast_abs_scan(steps, ctx: _Ctx):
     out = []
     stack = [root]
     kind = test[0]
-    # inlined node tests for the hot loop
+    # inlined node tests for the hot loop; for element-only tests the
+    # stack carries elements exclusively (push-filtered list comp runs at
+    # C speed vs a pop+branch per text node)
     if kind == "name":
         want = test[1]
+        if root.type != ELEMENT_NODE:
+            stack = []
+        append = out.append
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            n = stack.pop()
-            if n.type == ELEMENT_NODE:
-                if n.name == want:
-                    out.append(n)
-                stack.extend(reversed(n.children))
+            n = pop()
+            if n.name == want:
+                append(n)
+            ch = n.children
+            if ch:
+                extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
     elif kind == "*":
+        if root.type != ELEMENT_NODE:
+            stack = []
         while stack:
             n = stack.pop()
-            if n.type == ELEMENT_NODE:
-                out.append(n)
-                stack.extend(reversed(n.children))
+            out.append(n)
+            ch = n.children
+            if ch:
+                stack.extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
     else:
         while stack:
             n = stack.pop()
             if _node_test(n, test):
                 out.append(n)
             if n.type == ELEMENT_NODE:
-                stack.extend(reversed(n.children))
+                stack.extend(n.children[::-1])
     for pred in preds:
         simple = _compile_simple_pred(pred)
         if simple is not None:

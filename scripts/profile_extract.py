@@ -60,10 +60,14 @@ def main():
     # untimed warmup touches import-time caches
     parser.parse_offline([docs[0][1]], url=Url.parse("https://warm.example.com/"))
 
-    t0 = time.monotonic()
-    run()
-    wall = time.monotonic() - t0
-    print(f"plain: {n} docs in {wall:.2f}s = {n / wall:.0f} docs/s/core "
+    # best-of-N: the sandbox carries bursty background load
+    wall = None
+    for _ in range(int(os.environ.get("AES_PROFILE_REPEATS", "3"))):
+        t0 = time.monotonic()
+        run()
+        w = time.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
+    print(f"plain: {n} docs best-of-N {wall:.2f}s = {n / wall:.0f} docs/s/core "
           f"({1000 * wall / n:.2f} ms/doc)")
 
     pr = cProfile.Profile()
