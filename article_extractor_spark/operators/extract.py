@@ -71,10 +71,74 @@ def broadcast_configs(spark: SparkSession, config_dir: str | None = None):
     return spark.sparkContext.broadcast(coll.entries)
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame], config_entries):
+def _extract_rows(urls, htmls, parser):
+    """Shared per-batch extraction loop: python lists in, column lists out."""
+    from article_extractor_spark.core.urlutil import Url, UrlError
+
+    n = len(urls)
+    titles = [None] * n
+    authors = [None] * n
+    dates = [None] * n
+    thumbs = [None] * n
+    texts = [None] * n
+    for i, (url_s, html) in enumerate(zip(urls, htmls)):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", "replace")
+        try:
+            u = Url.parse(url_s)
+        except UrlError:
+            u = None
+        try:
+            art = parser.parse_offline([html], url=u)
+        except Exception:
+            continue  # hard-failed document: emit row with null fields
+        titles[i] = art.title
+        authors[i] = art.author
+        dates[i] = art.date.replace(tzinfo=None) if art.date is not None else None
+        thumbs[i] = art.thumbnail_url
+        texts[i] = art.html
+    return titles, authors, dates, thumbs, texts
+
+
+def _extract_batches_arrow(batches, config_entries):
+    """Arrow-native batch loop (mapInArrow): no pandas materialization on
+    either side of the exchange — the html column goes Arrow buffer ->
+    python list, results go python lists -> Arrow arrays."""
+    import pyarrow as pa
     from pyspark import TaskContext
 
-    from article_extractor_spark.core.urlutil import Url, UrlError
+    parser = _get_worker_parser(config_entries)
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+
+    for rb in batches:
+        t0 = time.monotonic()
+        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+        htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
+        titles, authors, dates, thumbs, texts = _extract_rows(urls, htmls, parser)
+        elapsed_ms = int((time.monotonic() - t0) * 1000)
+        n = len(urls)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(titles, pa.string()),
+                pa.array(authors, pa.string()),
+                pa.array(dates, pa.timestamp("us")),
+                pa.array(thumbs, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array([pid] * n, pa.int64()),
+                pa.array([elapsed_ms] * n, pa.int64()),
+            ],
+            names=["url", "title", "author", "date", "thumbnail_url", "text",
+                   "part_id", "batch_elapsed_ms"],
+        )
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame], config_entries):
+    """pandas batch loop (mapInPandas fallback; same row semantics)."""
+    from pyspark import TaskContext
 
     parser = _get_worker_parser(config_entries)
     tc = TaskContext.get()
@@ -82,38 +146,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame], config_entries):
 
     for pdf in batches:
         t0 = time.monotonic()
-        n = len(pdf)
-        out = {
-            "url": pdf["url"].tolist(),
-            "title": [None] * n,
-            "author": [None] * n,
-            "date": [None] * n,
-            "thumbnail_url": [None] * n,
-            "text": [None] * n,
-        }
+        urls = pdf["url"].tolist()
         htmls = pdf["html"].tolist()
-        for i, (url_s, html) in enumerate(zip(out["url"], htmls)):
-            if html is None:
-                continue
-            if isinstance(html, (bytes, bytearray, memoryview)):
-                html = bytes(html).decode("utf-8", "replace")
-            try:
-                u = Url.parse(url_s)
-            except UrlError:
-                u = None
-            try:
-                art = parser.parse_offline([html], url=u)
-            except Exception:
-                continue  # hard-failed document: emit row with null fields
-            out["title"][i] = art.title
-            out["author"][i] = art.author
-            out["date"][i] = (
-                art.date.replace(tzinfo=None) if art.date is not None else None
-            )
-            out["thumbnail_url"][i] = art.thumbnail_url
-            out["text"][i] = art.html
+        titles, authors, dates, thumbs, texts = _extract_rows(urls, htmls, parser)
         elapsed_ms = int((time.monotonic() - t0) * 1000)
-        res = pd.DataFrame(out)
+        res = pd.DataFrame({
+            "url": urls, "title": titles, "author": authors, "date": dates,
+            "thumbnail_url": thumbs, "text": texts,
+        })
         res["date"] = pd.to_datetime(res["date"], errors="coerce")
         res["part_id"] = pid
         res["batch_elapsed_ms"] = elapsed_ms
@@ -125,6 +165,7 @@ def extract_articles(
     config_broadcast=None,
     num_partitions: int | None = None,
     salt_buckets: int = 0,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """pages(url, html, ...) -> articles(url, title, author, date,
     thumbnail_url, text, part_id, batch_elapsed_ms).
@@ -158,6 +199,12 @@ def extract_articles(
         projected = projected.repartition(num_partitions, key)
         if salt_buckets > 0 and "warc_ts" in pages.columns:
             projected = projected.select("url", "html")
+
+    if use_arrow:
+        def fn_arrow(batches):
+            return _extract_batches_arrow(batches, entries.value)
+
+        return projected.mapInArrow(fn_arrow, OUTPUT_SCHEMA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _extract_batches(batches, entries.value)

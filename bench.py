@@ -37,18 +37,18 @@ def build_spark(cpus: int):
     )
 
 
-def replicated_pages(spark, sf_dir: str, mult: int):
+def replicated_pages(spark, sf_dir: str, mult: int, num_partitions: int = 128):
     from pyspark.sql import functions as F
 
     from article_extractor_spark.sources.pages import synthesize_pages
 
     pages = synthesize_pages(spark, sf_dir)
-    if mult <= 1:
-        return pages
-    reps = spark.range(mult).select(F.col("id").alias("rep"))
-    return pages.crossJoin(reps).withColumn(
-        "url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep"))
-    ).drop("rep")
+    if mult > 1:
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        pages = pages.crossJoin(reps).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep"))
+        ).drop("rep")
+    return pages
 
 
 def main() -> None:
@@ -89,6 +89,23 @@ def main() -> None:
         t_extract = t if t_extract is None else min(t_extract, t)
     timings["extract"] = round(t_extract, 3)
     docs_per_sec = round(extracted / t_extract, 1) if t_extract else None
+
+    # narrow-plan variant: no url-hash exchange — the explicit repartition
+    # is only REQUIRED by the bucketed checkpoint job; a stateless map over
+    # an already-balanced scan is shuffle-free at any scale.  The input is
+    # pre-split outside the timed window to model a real table scan
+    # (maxPartitionBytes-sized splits); the local parquet file is 1 split.
+    narrow_in = pages.repartition(parts_per_core * cpus).cache()
+    narrow_in.count()
+    t_narrow = None
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        extract_articles(narrow_in, config_broadcast=cfg).count()
+        t = time.monotonic() - t0
+        t_narrow = t if t_narrow is None else min(t_narrow, t)
+    timings["extract_narrow"] = round(t_narrow, 3)
+    narrow_docs_per_sec = round(extracted / t_narrow, 1) if t_narrow else None
+    narrow_in.unpersist(blocking=True)
     pages.unpersist(blocking=True)
     spark.catalog.clearCache()
 
@@ -116,6 +133,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction_docs": extracted,
         "extraction_docs_per_sec": docs_per_sec,
+        "extraction_docs_per_sec_narrow": narrow_docs_per_sec,
         "cpus": cpus,
     }))
 

@@ -118,6 +118,22 @@ def test_checkpoint_resume_exact(spark, tmp_path):
     pages.unpersist()
 
 
+def test_arrow_and_pandas_paths_identical(spark):
+    """mapInArrow (default) and mapInPandas fallback must emit identical
+    rows — same extraction, same nulls, same timestamps."""
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(50).cache()
+    cols = ["url", "title", "author", "date", "thumbnail_url", "text"]
+    a = {r["url"]: tuple(r[c] for c in cols)
+         for r in extract_articles(pages, use_arrow=True).collect()}
+    p = {r["url"]: tuple(r[c] for c in cols)
+         for r in extract_articles(pages, use_arrow=False).collect()}
+    assert a == p and len(a) == 50
+    pages.unpersist()
+
+
 def test_salted_repartition_deterministic(spark):
     """The salted repartition key must be a pure function of row DATA —
     never rand()/partition position, which can duplicate or lose rows when
