@@ -48,6 +48,14 @@ def replicated_pages(spark, sf_dir: str, mult: int, num_partitions: int = 128):
         pages = pages.crossJoin(reps).withColumn(
             "url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep"))
         ).drop("rep")
+    # AES_BENCH_SHARD="i/k": keep only this instance's url-hash shard —
+    # used by scripts/multi_jvm_scaling.py to emulate k separate executor
+    # machines as k concurrent JVMs, each owning a disjoint bucket range
+    # (the same data-deterministic bucketing the checkpoint job uses)
+    shard = os.environ.get("AES_BENCH_SHARD")
+    if shard:
+        i, k = (int(x) for x in shard.split("/"))
+        pages = pages.where(F.pmod(F.xxhash64(F.col("url")), F.lit(k)) == i)
     return pages
 
 
@@ -111,9 +119,11 @@ def main() -> None:
 
     # -- relational operator suite --------------------------------------
     qs = entry.queries()
-    for name in ("dedup_minhash", "dedup_jaccard", "dedup_simhash",
-                 "ann_brute", "ann_lsh", "token_counts", "quality",
-                 "fingerprint", "media_decode"):
+    suite = () if os.environ.get("AES_BENCH_EXTRACT_ONLY") else (
+        "dedup_minhash", "dedup_jaccard", "dedup_simhash",
+        "ann_brute", "ann_lsh", "token_counts", "quality",
+        "fingerprint", "media_decode")
+    for name in suite:
         fn = qs[name]
         best = None
         for _ in range(repeats):

@@ -33,30 +33,49 @@ def run(cpus: int, sf_dir: str, mult: int) -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    mult = int(os.environ.get("AES_BENCH_MULT", "4"))
+    mult = int(os.environ.get("AES_BENCH_MULT", "16"))
+    rounds = int(os.environ.get("AES_SCALING_ROUNDS", "2"))
     n, four_n = 8, 32
-    lo = run(n, sf_dir, mult)
-    hi = run(four_n, sf_dir, mult)
+    # alternate levels and keep the best of each: the sandbox carries
+    # bursty background load, and alternating avoids attributing one load
+    # burst entirely to one level
+    lo = hi = None
+
+    def better(a, b):
+        if a is None:
+            return b
+        return a if a["extraction_docs_per_sec"] >= b["extraction_docs_per_sec"] else b
+
+    for _ in range(rounds):
+        lo = better(lo, run(n, sf_dir, mult))
+        hi = better(hi, run(four_n, sf_dir, mult))
     tp_lo = lo["extraction_docs_per_sec"]
     tp_hi = hi["extraction_docs_per_sec"]
     eff = tp_hi / (4 * tp_lo)
+    tp_lo_nar = lo.get("extraction_docs_per_sec_narrow")
+    tp_hi_nar = hi.get("extraction_docs_per_sec_narrow")
+    eff_nar = (tp_hi_nar / (4 * tp_lo_nar)) if tp_lo_nar and tp_hi_nar else None
     result = {
         "sf_dir": sf_dir,
         "docs": lo["extraction_docs"],
         "throughput_n8": tp_lo,
         "throughput_n32": tp_hi,
         "scaling_efficiency": round(eff, 3),
+        "throughput_n8_narrow": tp_lo_nar,
+        "throughput_n32_narrow": tp_hi_nar,
+        "scaling_efficiency_narrow": round(eff_nar, 3) if eff_nar else None,
         "suite_sec_n8": lo["value"],
         "suite_sec_n32": hi["value"],
         "queries_n32": hi["queries"],
     }
     print(json.dumps(result))
     print()
-    print("| cores | extraction docs/sec | suite sec |")
-    print("| --- | --- | --- |")
-    print(f"| local[{n}] | {tp_lo} | {lo['value']} |")
-    print(f"| local[{four_n}] | {tp_hi} | {hi['value']} |")
-    print(f"\nefficiency = {tp_hi} / (4 x {tp_lo}) = **{eff:.3f}**")
+    print("| cores | extraction docs/sec | narrow docs/sec | suite sec |")
+    print("| --- | --- | --- | --- |")
+    print(f"| local[{n}] | {tp_lo} | {tp_lo_nar} | {lo['value']} |")
+    print(f"| local[{four_n}] | {tp_hi} | {tp_hi_nar} | {hi['value']} |")
+    print(f"\nefficiency = {tp_hi} / (4 x {tp_lo}) = **{eff:.3f}**"
+          + (f" (narrow: {eff_nar:.3f})" if eff_nar else ""))
 
 
 if __name__ == "__main__":
