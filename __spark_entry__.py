@@ -207,10 +207,53 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), num_bands=8)
 
 
+def q_dedup_clusters_full(spark, sf_dir):
+    """Full-coverage clustering: singletons keep cluster_id = doc_id."""
+    from article_extractor_spark.operators.dedup import dedup_clusters_full
+
+    return dedup_clusters_full(_docs(spark, sf_dir), num_bands=8)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from article_extractor_spark.operators.dedup import simhash
 
     return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_kmeans_iter(spark, sf_dir):
+    """One k-means Lloyd iteration over the embeddings (assign to seed
+    centroids -> exact quantized member means per dimension)."""
+    from article_extractor_spark.operators.similarity import kmeans_iterate
+
+    return kmeans_iterate(_emb(spark, sf_dir), num_centroids=8)
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: for each event, the most recent crawl
+    (warc_ts <= event ts) of its key class — the temporal-join primitive
+    a feature-extraction pipeline needs (oracle: DuckDB ASOF JOIN)."""
+    from article_extractor_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(50)).alias("k"),
+        F.col("ts"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.pmod(F.col("doc_id"), F.lit(50)).alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.col("doc_id").alias("matched_doc"),
+    )
+    out = asof_join(ev, docs, key="k", left_ts="ts", right_ts="warc_ts",
+                    right_vals=("matched_doc",))
+    # no-match -> -1 (not NULL): a nullable BIGINT turns into float64+NaN
+    # through the oracle's Arrow/pandas path and hash-mismatches
+    return out.select(
+        "event_id", "k",
+        F.coalesce(F.col("matched_doc"), F.lit(-1)).cast("long")
+        .alias("matched_doc"),
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -401,7 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_full": q_dedup_clusters_full,
         "dedup_simhash": q_dedup_simhash,
+        "kmeans_iter": q_kmeans_iter,
+        "asof_join": q_asof_join,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
@@ -684,7 +730,71 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
 """
 
+    sql["dedup_clusters_full"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()},
+{_minhash_bands_sql(8)},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
     sql["dedup_simhash"] = _simhash_sql(16)
+
+    sql["kmeans_iter"] = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.cvec[i + 1] AS DOUBLE))) / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) DESC,
+                      c.centroid_id ASC) AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+)
+SELECT a.centroid_id, d.i AS dim,
+       CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS mean_val,
+       count(*) AS n_members
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id,
+     LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
+GROUP BY 1, 2
+"""
+
+    sql["asof_join"] = """
+WITH ev AS (
+  SELECT event_id, user_id % 50 AS k, ts FROM events
+),
+crawls AS (
+  SELECT doc_id % 50 AS k,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+         doc_id AS matched_doc
+  FROM documents
+)
+SELECT e.event_id, e.k,
+       CAST(coalesce(c.matched_doc, -1) AS BIGINT) AS matched_doc
+FROM ev e ASOF LEFT JOIN crawls c
+  ON e.k = c.k AND e.ts >= c.warc_ts
+"""
 
     dot = _dot_sql("a.embedding", "b.embedding")
     sql["embedding_near_dups"] = f"""

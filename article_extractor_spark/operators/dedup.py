@@ -322,6 +322,24 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 
+def dedup_clusters_full(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_bands: int = 8,
+                        max_iterations: int = 50) -> DataFrame:
+    """Full-coverage clustering: like :func:`dedup_clusters` but every doc
+    appears in the output — singletons (no near-dup candidates) get
+    ``cluster_id = doc_id``.  One extra broadcast-able left join; the
+    label table is tiny relative to the corpus (only docs in pairs)."""
+    labels = dedup_clusters(df, text_col, id_col, num_bands, max_iterations)
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,

@@ -1,0 +1,79 @@
+"""Join operators Spark lacks as built-ins, composed from DataFrame
+primitives with cluster-scale plans.
+
+* :func:`asof_join` — for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key (a temporal / point-in-time join: "which
+  crawl of this host was current when the event happened").  Implemented
+  as the canonical distributed sort-merge form: union both sides, one
+  shuffle on the key, one in-partition sort, then a running
+  ``last(value, ignorenulls)`` window — no per-key loops, no range
+  cross-join blowup.  DuckDB's native ``ASOF JOIN`` is the value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "k",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: tuple[str, ...] = ("val",),
+    how: str = "left",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``right_vals`` of the
+    most recent ``right`` row (``right_ts <= left_ts``) with the same
+    ``key``; NULLs when no right row precedes it (how='left') or the row
+    is dropped (how='inner').
+
+    Scale shape: |L|+|R| rows shuffle ONCE on ``key``; each partition
+    sorts by (ts, side) and carries values forward — linear, no
+    key×key fan-out, skew bounded by the hottest key (salt upstream if a
+    single key exceeds a partition).
+
+    Equal timestamps: the right row is visible to left rows at the same
+    timestamp (<= semantics, matching DuckDB ASOF).  Duplicate right
+    rows on the same (key, ts) resolve to the last by ``right_vals``
+    order — keep (key, right_ts) unique for well-defined results.
+    """
+    lcols = left.columns
+    # typed NULLs for the right-value slots on the left side
+    rv_types = dict(right.select(*right_vals).dtypes)
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rv_types[c]).alias(f"_rv_{c}") for c in right_vals],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.select(*lcols).dtypes],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
+    )
+    u = l.unionByName(r)
+    # right rows sort before left rows at equal ts (<= visibility)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                 *[F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+          for c in right_vals],
+    ).where(F.col("_side") == 1)
+    out = carried.select(
+        *lcols,
+        *[F.col(f"_asof_{c}").alias(c) for c in right_vals],
+    )
+    if how == "inner":
+        out = out.where(F.col(right_vals[0]).isNotNull())
+    return out

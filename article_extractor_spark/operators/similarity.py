@@ -175,6 +175,37 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def kmeans_iterate(emb: DataFrame, num_centroids: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration over the embedding table: assign every vector
+    to its nearest seed centroid (cosine, same assignment as
+    :func:`ivf_assign`), then recompute each centroid as the member mean —
+    the "k-means pass" the IVF docstring defers to at scale.
+
+    Returns (centroid_id, dim, mean_val, n_members) rows.
+
+    Scale shape: assignment is a broadcast join + per-row argmax; the
+    recompute explodes members to (centroid, dim) and aggregates with
+    map-side combine — |docs|×|dims| rows through ONE shuffle keyed on
+    (centroid, dim), the standard Spark k-means layout.  Sums are exact
+    (1e-6-quantized integers; oracle policy in NOTES.md) so the means are
+    bit-identical to the DuckDB oracle regardless of partition order."""
+    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    assign = ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
+    members = emb.join(assign.select(id_col, "centroid_id"), id_col)
+    exploded = members.select(
+        "centroid_id",
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn(
+        "xq", F.round(F.col("x").cast("double") * 1e6).cast("bigint")
+    )
+    n = F.count(F.lit(1))
+    return exploded.groupBy("centroid_id", "dim").agg(
+        (F.sum("xq").cast("double") / F.lit(1e6) / n).alias("mean_val"),
+        n.alias("n_members"),
+    )
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              num_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",

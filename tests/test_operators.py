@@ -220,6 +220,59 @@ def test_dedup_clusters(spark, docs):
     assert 3 not in labels  # unique doc: no edges, not in any cluster
 
 
+def test_asof_join_semantics(spark):
+    """<= visibility, per-key isolation, and left rows with no preceding
+    right row get NULL (analytic hand-checkable case)."""
+    import datetime
+
+    from article_extractor_spark.operators.joins import asof_join
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 0, T(5)), (2, 0, T(10)), (3, 0, T(2)), (4, 1, T(10)), (5, 2, T(10))],
+        "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(0, T(5), 100), (0, T(8), 101), (1, T(20), 200)],
+        "k long, ts timestamp, val long")
+    out = {r["event_id"]: r["val"]
+           for r in asof_join(left, right, key="k", right_vals=("val",)).collect()}
+    assert out == {
+        1: 100,   # ts==right ts -> visible (<=)
+        2: 101,   # latest of the two preceding
+        3: None,  # nothing precedes
+        4: None,  # right row is in the future
+        5: None,  # key has no right rows at all
+    }
+    inner = asof_join(left, right, key="k", right_vals=("val",), how="inner")
+    assert {r["event_id"] for r in inner.collect()} == {1, 2}
+
+
+def test_kmeans_iterate_exact_means(spark):
+    """Member means per dimension are exact (quantized integer sums)."""
+    from article_extractor_spark.operators.similarity import kmeans_iterate
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),        # seed centroids
+         (2, [1.0, 0.2]), (3, [0.2, 1.0])],       # one member each
+        "vec_id long, embedding array<double>")
+    rows = {(r["centroid_id"], r["dim"]): r
+            for r in kmeans_iterate(emb, num_centroids=2).collect()}
+    assert rows[(0, 0)]["mean_val"] == 1.0 and rows[(0, 0)]["n_members"] == 2
+    assert rows[(0, 1)]["mean_val"] == 0.1
+    assert rows[(1, 0)]["mean_val"] == 0.1
+    assert rows[(1, 1)]["mean_val"] == 1.0
+
+
+def test_dedup_clusters_full_covers_all(spark, docs):
+    from article_extractor_spark.operators.dedup import dedup_clusters_full
+
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters_full(docs, num_bands=16).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}   # every doc present
+    assert out[0] == out[1] == 0            # dup cluster canonical = min id
+    assert out[3] == 3 and out[4] == 4      # singletons map to themselves
+
+
 def test_ivf_topk(spark):
     from article_extractor_spark.operators.similarity import (brute_force_topk,
                                                               ivf_topk)
