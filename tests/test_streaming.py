@@ -45,3 +45,115 @@ def test_stream_extraction_available_now(spark, tmp_path):
     assert got2.count() == 60
     assert got2.select("url").distinct().count() == 60
     pages.unpersist()
+
+
+def _run_sessionize_stream(spark, in_dir, out_dir, chk):
+    from article_extractor_spark.streaming.sessionize_stream import \
+        sessionize_stream
+
+    ev_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream).writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions from the stateful stream (applyInPandasWithState)
+    must be ROW-IDENTICAL to the batch window formulation, across two
+    file waves with state carried through the checkpoint.  The only
+    allowed difference: each user's final session is still open in the
+    stream (no later event closed it)."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    split_ts = ev.selectExpr(
+        "percentile_approx(ts, 0.6) AS t").collect()[0]["t"]
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "sessions")
+    chk = str(tmp_path / "chk")
+    # wave files arrive in event-time order (per-user order preserved)
+    ev.where(F.col("ts") <= F.lit(split_ts)).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    _run_sessionize_stream(spark, in_dir, out_dir, chk)
+    ev.where(F.col("ts") > F.lit(split_ts)).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    _run_sessionize_stream(spark, in_dir, out_dir, chk)
+
+    streamed = {
+        (r["user_id"], r["session_no"]):
+            (r["n_events"], r["session_value"], r["duration_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = entry.q_sessionize(spark, sf_dir)
+    from pyspark.sql import Window
+    last = Window.partitionBy("user_id")
+    closed_batch = {
+        (r["user_id"], r["session_no"]):
+            (r["n_events"], r["session_value"], r["duration_sec"])
+        for r in batch.withColumn(
+            "max_no", F.max("session_no").over(last))
+        .where(F.col("session_no") < F.col("max_no")).collect()
+    }
+    assert streamed == closed_batch
+    assert len(streamed) > 0
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Append-mode watermarked window counts: every emitted window row
+    equals the batch aggregation of the same data (exactly-once, no
+    partials emitted before finalization)."""
+    from article_extractor_spark.streaming.sessionize_stream import \
+        windowed_counts_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "win_out")
+    ev.orderBy("ts").coalesce(4).write.mode("append").parquet(in_dir)
+
+    ev_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        windowed_counts_stream(stream, window="10 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "win_chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = {
+        (r["window_start"], r["window_end"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]): r["n_events"]
+        for r in ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events").collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert batch[k] == v  # finalized windows are complete and exact
