@@ -48,3 +48,46 @@ def test_parse_serialize_stable(html):
     doc2 = parse_html(s1)
     assert doc2.get_root_element() is not None
     serialize_node(doc2.get_root_element())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_sibling_index_cache_under_mutation(data):
+    """The Node._sibling_index cached-hint must stay correct through
+    arbitrary interleavings of add/insert/unlink/replace: navigation via
+    get_next_sibling/get_prev_sibling always agrees with a naive
+    list-position recomputation."""
+    from article_extractor_spark.core.dom import Document, Node
+
+    doc = Document()
+    root = Node.new_element("root", doc)
+    doc.set_root_element(root)
+    nodes = [root]
+    for step in range(data.draw(st.integers(10, 60))):
+        op = data.draw(st.sampled_from(
+            ["add", "insert", "unlink", "replace", "check"]))
+        parent = data.draw(st.sampled_from(nodes))
+        if op == "add":
+            n = Node.new_element(f"e{step}", doc)
+            parent.add_child(n)
+            nodes.append(n)
+        elif op == "insert" and parent.children:
+            ref = data.draw(st.sampled_from(parent.children))
+            n = Node.new_element(f"i{step}", doc)
+            parent.insert_before(n, ref)
+            nodes.append(n)
+        elif op == "unlink" and parent is not root:
+            parent.unlink()
+        elif op == "replace" and parent.children:
+            old = data.draw(st.sampled_from(parent.children))
+            n = Node.new_element(f"r{step}", doc)
+            parent.replace_child_node(n, old)
+            nodes = [x for x in nodes if x is not old] + [n]
+        # invariant: every attached node navigates consistently
+        for parent2 in nodes:
+            ch = parent2.children
+            for truth_i, c in enumerate(ch):
+                nxt = c.get_next_sibling()
+                prv = c.get_prev_sibling()
+                assert nxt is (ch[truth_i + 1] if truth_i + 1 < len(ch) else None)
+                assert prv is (ch[truth_i - 1] if truth_i > 0 else None)
