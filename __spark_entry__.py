@@ -228,6 +228,14 @@ def q_kmeans_iter(spark, sf_dir):
     return kmeans_iterate(_emb(spark, sf_dir), num_centroids=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (4096-token contexts) via a
+    distributed two-level prefix sum over document token counts."""
+    from article_extractor_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=4096)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: for each event, the most recent crawl
     (warc_ts <= event ts) of its key class — the temporal-join primitive
@@ -448,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "asof_join": q_asof_join,
+        "pack_sequences": q_pack_sequences,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
@@ -781,6 +790,27 @@ FROM embeddings e
 JOIN assign a ON a.vec_id = e.vec_id,
      LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
 GROUP BY 1, 2
+"""
+
+    sql["pack_sequences"] = r"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_tokens
+  FROM docs
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS global_start,
+       CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_first,
+       CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS pack_last
+FROM c
 """
 
     sql["asof_join"] = """

@@ -1,0 +1,69 @@
+"""Sequence packing for LLM training data: concat-and-chunk documents (in
+a deterministic total order) into fixed-size context windows, computing
+each document's global token offset and the pack ids it spans.
+
+The sequential cumulative sum is computed as a DISTRIBUTED TWO-LEVEL
+PREFIX SUM — the only scale-correct shape for 10^12 docs:
+
+1. bucket each doc by an order-preserving range key (floor(doc_id/span)),
+2. per-bucket token totals (one small aggregate, |K| rows),
+3. bucket base offsets = running sum over the K bucket totals (driver-size
+   window, K ~ thousands),
+4. within-bucket running sums in parallel (window partitioned BY BUCKET —
+   every bucket is independent, no global single-partition sort),
+5. global_end = bucket_base + within_cumsum.
+
+A naive `Window.orderBy(id)` with no partitioning funnels the entire
+corpus through ONE task; this formulation shuffles each row once and
+keeps all heavy windows partition-parallel.  All sums are exact integers
+so results are bit-identical to the oracle's straight cumsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# embedded in a Spark SQL string literal, so the backslash is doubled
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", ctx_len: int = 4096,
+                   num_buckets: int = 64) -> DataFrame:
+    """(doc_id, n_tokens, global_start, pack_first, pack_last): documents
+    are concatenated in ``id_col`` order and chunked into ``ctx_len``-token
+    packs; a doc spans packs [pack_first, pack_last].  Zero-token docs
+    (empty text) are excluded — they occupy no pack space."""
+    n_tokens = F.size(F.expr(
+        f"regexp_extract_all(coalesce({text_col}, ''), '{TOKEN_RE}', 0)"
+    )).cast("long")
+    toks = df.select(F.col(id_col), n_tokens.alias("n_tokens")) \
+             .where(F.col("n_tokens") > 0)
+
+    # order-preserving range bucketing: bucket asc, id asc == global id order
+    hi = toks.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+    span = max(1, (int(hi) + num_buckets) // num_buckets) if hi is not None else 1
+    b = toks.withColumn("_b", (F.col(id_col) / F.lit(span)).cast("long"))
+
+    totals = b.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_base = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_base), F.lit(0)).alias("_base"))
+
+    w_in = Window.partitionBy("_b").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        b.withColumn("_cum", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(bases), "_b")
+        .withColumn("_end", F.col("_base") + F.col("_cum"))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("_end") - F.col("n_tokens")).alias("global_start"),
+        F.floor((F.col("_end") - F.col("n_tokens")) / F.lit(ctx_len))
+        .cast("long").alias("pack_first"),
+        F.floor((F.col("_end") - 1) / F.lit(ctx_len))
+        .cast("long").alias("pack_last"),
+    )

@@ -273,6 +273,48 @@ def test_dedup_clusters_full_covers_all(spark, docs):
     assert out[3] == 3 and out[4] == 4      # singletons map to themselves
 
 
+def test_pack_sequences(spark):
+    """Two-level distributed prefix sum == straight sequential cumsum
+    (analytic case incl. a doc spanning a pack boundary and an excluded
+    empty doc), and the heavy window is bucket-partitioned (the corpus
+    never funnels through one task)."""
+    from article_extractor_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a " * 3000), (1, ""), (2, "b " * 2000), (3, "c " * 100)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(docs, ctx_len=4096, num_buckets=2).collect()}
+    assert 1 not in rows                       # empty doc occupies no pack
+    assert rows[0]["global_start"] == 0
+    assert (rows[0]["pack_first"], rows[0]["pack_last"]) == (0, 0)
+    assert rows[2]["global_start"] == 3000
+    assert (rows[2]["pack_first"], rows[2]["pack_last"]) == (0, 1)  # spans
+    assert rows[3]["global_start"] == 5000
+    assert (rows[3]["pack_first"], rows[3]["pack_last"]) == (1, 1)
+
+    # cross-check vs a single global cumsum on a bigger random-ish corpus
+    import itertools
+    texts = [(i, "w " * ((i * 37) % 200 + 1)) for i in range(300)]
+    big = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["global_start"], r["pack_first"], r["pack_last"])
+           for r in pack_sequences(big, ctx_len=512, num_buckets=7).collect()}
+    cum = 0
+    for i, t in texts:
+        n = len(t.split())
+        assert got[i] == (cum, cum // 512, (cum + n - 1) // 512), i
+        cum += n
+
+    plan = pack_sequences(big, ctx_len=512)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the per-row window must be partitioned (partitionBy _b); only the
+    # K-row bucket-base window may be global
+    import re
+    heavy = [l for l in plan.splitlines()
+             if "Window" in l and "n_tokens" in l and "_b" not in l]
+    assert not heavy, heavy
+
+
 def test_ivf_topk(spark):
     from article_extractor_spark.operators.similarity import (brute_force_topk,
                                                               ivf_topk)
