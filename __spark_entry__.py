@@ -228,6 +228,15 @@ def q_kmeans_iter(spark, sf_dir):
     return kmeans_iterate(_emb(spark, sf_dir), num_centroids=8)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-threshold data mixing: keep 100% zh, 50% de/fr,
+    20% es, 10% en — returns the kept doc ids with their stratum."""
+    from article_extractor_spark.operators.textstats import stratified_sample
+
+    rates = {"zh": 1.0, "de": 0.5, "fr": 0.5, "es": 0.2, "en": 0.1}
+    return stratified_sample(_docs(spark, sf_dir), rates).select("doc_id", "lang")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (4096-token contexts) via a
     distributed two-level prefix sum over document token counts."""
@@ -457,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iter": q_kmeans_iter,
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
@@ -790,6 +800,15 @@ FROM embeddings e
 JOIN assign a ON a.vec_id = e.vec_id,
      LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
 GROUP BY 1, 2
+"""
+
+    sql["stratified_sample"] = """
+SELECT doc_id, lang
+FROM documents
+WHERE cast(concat('0x', substr(md5('mix1' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) as ubigint)::bigint
+      < (CASE lang WHEN 'zh' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                   WHEN 'es' THEN 0.2 WHEN 'en' THEN 0.1 ELSE 0.0 END)
+        * 1152921504606846976.0
 """
 
     sql["pack_sequences"] = r"""

@@ -125,3 +125,31 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def _gram_hash(g):
     return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0, seed: str = "mix1") -> DataFrame:
+    """Deterministic hash-threshold sampling per stratum — the data-mixing
+    primitive (e.g. keep 100% of low-resource languages, 10% of English).
+
+    keep <=> hash60(seed:id) < rate * 2^60.  A pure per-row projection:
+    zero shuffle, zero state, reproducible across runs/retries/cluster
+    sizes (no rand()), and composable — re-running with a higher rate
+    yields a superset (threshold property), which makes incremental
+    corpus growth append-only."""
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('{seed}', ':', {id_col})), 1, 15), 16, 10) as bigint)"
+    )
+    rate = None
+    for k, v in rates.items():
+        branch = F.when(F.col(strata_col) == k, F.lit(float(v)))
+        rate = branch if rate is None else rate.when(
+            F.col(strata_col) == k, F.lit(float(v)))
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None \
+        else F.lit(float(default_rate))
+    return (
+        df.withColumn("_h60", h)
+        .where(F.col("_h60") < (rate * F.lit(float(1 << 60))))
+        .drop("_h60")
+    )

@@ -273,6 +273,30 @@ def test_dedup_clusters_full_covers_all(spark, docs):
     assert out[3] == 3 and out[4] == 4      # singletons map to themselves
 
 
+def test_stratified_sample_properties(spark):
+    """Deterministic, rate-monotone (superset property), rate-accurate,
+    and strata-isolated."""
+    from article_extractor_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, text string, lang string")
+    lo = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.2, "zh": 1.0}).collect()}
+    lo2 = {r["doc_id"] for r in
+           stratified_sample(docs, {"en": 0.2, "zh": 1.0}).collect()}
+    hi = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.6, "zh": 1.0}).collect()}
+    assert lo == lo2                 # deterministic across runs
+    assert lo <= hi                  # threshold monotonicity
+    assert all(i in hi for i in range(1, 2000, 2))  # zh kept at 1.0
+    n_en = sum(1 for i in lo if i % 2 == 0)
+    assert 120 <= n_en <= 280        # ~20% of 1000, generous CI
+    # unlisted stratum drops by default
+    none = stratified_sample(docs, {"en": 0.5}).where("lang = 'zh'").count()
+    assert none == 0
+
+
 def test_pack_sequences(spark):
     """Two-level distributed prefix sum == straight sequential cumsum
     (analytic case incl. a doc spanning a pack boundary and an excluded
