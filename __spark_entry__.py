@@ -112,7 +112,8 @@ def q_host_parse(spark, sf_dir):
 
 def q_config_lookup(spark, sf_dir):
     """Broadcast config-dimension join: which hosts have a site config
-    (rows-only: the 1,901-file dimension isn't a DuckDB view)."""
+    (the 1,901-host dimension is embedded as a VALUES list in the
+    oracle, so this is value-checked)."""
     from article_extractor_spark.core.config import ConfigCollection
 
     coll = ConfigCollection()
@@ -652,6 +653,26 @@ SELECT regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '^www\\.', '
          AS host,
        count(*) AS n_pages
 FROM pages GROUP BY 1
+"""
+
+    # config-dimension hosts embedded as VALUES (identical set to the
+    # Spark broadcast dim: every parsed entry filename minus '.txt')
+    from article_extractor_spark.core.config import ConfigCollection
+
+    _hosts = sorted(h[:-4] for h in ConfigCollection().entries)
+    _vals = ", ".join("('" + h.replace("'", "''") + "')" for h in _hosts)
+    sql["config_lookup"] = f"""
+WITH {_PAGES_CTE.strip()},
+dim(host) AS (VALUES {_vals}),
+ph AS (
+  SELECT regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)/', 1),
+                        '^www\\.', '') AS host
+  FROM pages
+)
+SELECT count(*) AS n_pages,
+       CAST(sum(CASE WHEN d.host IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_config
+FROM ph LEFT JOIN (SELECT DISTINCT host FROM dim) d ON d.host = ph.host
 """
 
     sql["metrics_agg"] = f"""
