@@ -208,6 +208,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), num_bands=8)
 
 
+def q_dedup_chunks(spark, sf_dir):
+    """Exact-chunk containment pairs (64-char chunks, >=30% of the smaller
+    doc's chunks shared) — the exact-substring dedup family."""
+    from article_extractor_spark.operators.dedup import chunk_containment_pairs
+
+    return chunk_containment_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
 def q_dedup_clusters_full(spark, sf_dir):
     """Full-coverage clustering: singletons keep cluster_id = doc_id."""
     from article_extractor_spark.operators.dedup import dedup_clusters_full
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_full": q_dedup_clusters_full,
+        "dedup_chunks": q_dedup_chunks,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "asof_join": q_asof_join,
@@ -795,6 +804,28 @@ reach(id, r) AS (
 labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
+    sql["dedup_chunks"] = """
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+c AS (
+  SELECT DISTINCT doc_id, substr(text, i.i * 64 + 1, 64) AS chunk
+  FROM docs, LATERAL (SELECT unnest(range(greatest(length(text) // 64, 0))) AS i) i
+),
+sizes AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+  FROM c a JOIN c b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.a_id, s.b_id, s.n_shared,
+       za.n_chunks AS na, zb.n_chunks AS nb,
+       round(s.n_shared * 1.0 / least(za.n_chunks, zb.n_chunks), 6)
+         AS containment
+FROM shared s
+JOIN sizes za ON za.doc_id = s.a_id
+JOIN sizes zb ON zb.doc_id = s.b_id
+WHERE round(s.n_shared * 1.0 / least(za.n_chunks, zb.n_chunks), 6) >= 0.3
 """
 
     sql["dedup_simhash"] = _simhash_sql(16)

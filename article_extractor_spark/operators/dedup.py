@@ -343,6 +343,56 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 
+def chunk_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", chunk_len: int = 64,
+                            threshold: float = 0.5,
+                            max_chunk_df: int = 100_000) -> DataFrame:
+    """Exact-chunk containment candidates — the distributed form of
+    exact-substring dedup: split each doc into non-overlapping
+    ``chunk_len``-char chunks (full chunks only; the tail is ignored),
+    and report pairs where the docs share >= ``threshold`` of the SMALLER
+    doc's distinct chunks.  Containment is asymmetric-friendly: a page
+    quoting/mirroring/wrapping another scores high even when symmetric
+    Jaccard is low.
+
+    Scale shape: chunks explode in the same select as their expression
+    (see word_shingles note), one self-join keyed on the 64-char chunk
+    value — exact chunks are near-unique outside true duplication, so
+    fan-out is bounded; ``max_chunk_df`` drops degenerate chunks
+    (boilerplate banners) exactly like the jaccard hot-shingle cap."""
+    chunks_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(coalesce({text_col}, '')) div {chunk_len}, 0)), "
+        f"i -> substr({text_col}, (i - 1) * {chunk_len} + 1, {chunk_len})))"
+    )
+    toks = df.select(F.col(id_col), F.explode(chunks_expr).alias("chunk"))
+    toks = toks.cache()
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    hot = (
+        toks.groupBy("chunk").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_chunk_df).select("chunk")
+    )
+    filtered = toks.join(F.broadcast(hot), "chunk", "left_anti")
+    a = filtered.withColumnRenamed(id_col, "a_id")
+    b = filtered.withColumnRenamed(id_col, "b_id")
+    shared = (
+        a.join(b, "chunk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_chunks", "na")
+    zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_chunks", "nb")
+    return (
+        shared.join(za, "a_id").join(zb, "b_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "n_shared", "na", "nb", "containment")
+    )
+
+
 def dedup_clusters_full(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_bands: int = 8,
                         max_iterations: int = 50) -> DataFrame:

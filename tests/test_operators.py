@@ -273,6 +273,31 @@ def test_dedup_clusters_full_covers_all(spark, docs):
     assert out[3] == 3 and out[4] == 4      # singletons map to themselves
 
 
+def test_chunk_containment(spark):
+    """Asymmetric containment: a doc quoting half of another scores 1.0
+    on the smaller doc even when symmetric overlap is low; unrelated docs
+    produce nothing; the df cap drops degenerate chunks."""
+    from article_extractor_spark.operators.dedup import chunk_containment_pairs
+
+    base = "x" * 64 + "y" * 64 + "z" * 64 + "w" * 64   # 4 chunks
+    quote = "x" * 64 + "y" * 64                          # contained: 2/2
+    other = "q" * 256
+    docs = spark.createDataFrame(
+        [(0, base), (1, quote), (2, other)], "doc_id long, text string")
+    rows = {(r["a_id"], r["b_id"]): r
+            for r in chunk_containment_pairs(docs, threshold=0.5).collect()}
+    assert set(rows) == {(0, 1)}
+    assert rows[(0, 1)]["containment"] == 1.0
+    assert rows[(0, 1)]["n_shared"] == 2 and rows[(0, 1)]["na"] == 4
+
+    # df cap binds: chunk shared by many docs is dropped
+    clones = spark.createDataFrame(
+        [(i, "b" * 64) for i in range(10)], "doc_id long, text string")
+    assert chunk_containment_pairs(clones, threshold=0.5).count() == 45
+    assert chunk_containment_pairs(clones, threshold=0.5,
+                                   max_chunk_df=5).count() == 0
+
+
 def test_stratified_sample_properties(spark):
     """Deterministic, rate-monotone (superset property), rate-accurate,
     and strata-isolated."""
