@@ -85,7 +85,7 @@ def main() -> None:
     # Best-of-N: this box carries bursty background load (idle loadavg
     # 3-5); a single timed pass can read 2-3x slow.  Min wall over repeats
     # measures the engine, not the neighbors.
-    repeats = int(os.environ.get("AES_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("AES_BENCH_REPEATS", "3"))
     t_extract = None
     extracted = 0
     for _ in range(repeats):
