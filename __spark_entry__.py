@@ -355,6 +355,30 @@ def q_media_stats(spark, sf_dir):
                                     num_partitions=8))
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over the decoded media table
+    (integer rational scale, never upscaled)."""
+    from article_extractor_spark.operators.multimodal import (decode_media,
+                                                              resize_media,
+                                                              synthesize_media)
+
+    return resize_media(decode_media(synthesize_media(spark, sf_dir),
+                                     num_partitions=8), max_side=336)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Evenly-spaced video frame sampling (4 frames @24fps): binary
+    payloads joined to decoded frame counts, Arrow-batched UDF emits one
+    row per sampled frame."""
+    from article_extractor_spark.operators.multimodal import (decode_media,
+                                                              frame_sample,
+                                                              synthesize_media)
+
+    media = synthesize_media(spark, sf_dir)
+    decoded = decode_media(media, num_partitions=8)
+    return frame_sample(media, decoded, n_frames=4, fps=24)
+
+
 def q_clean_fragments(spark, sf_dir):
     """`clean_html_fragment` lifecycle over simple synthetic fragments whose
     cleaned output is analytically predictable."""
@@ -487,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "media_stats": q_media_stats,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
         "curation": q_curation,
         "sessionize": q_sessionize,
     }
@@ -1169,6 +1195,64 @@ SELECT media_id, kind, n_bytes,
             AS INTEGER) AS n_frames,
        content_md5
 FROM decoded
+"""
+
+    sql["media_resize"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         coalesce(text, '') AS content
+  FROM documents
+),
+decoded AS (
+  SELECT media_id, kind,
+         cast(concat('0x', substr(md5(content), 1, 15)) as ubigint)::bigint AS h
+  FROM media
+),
+typed AS (
+  SELECT media_id, kind,
+         CAST(h % 1920 + 1 AS INTEGER) AS width,
+         CAST((h >> 16) % 1080 + 1 AS INTEGER) AS height
+  FROM decoded
+),
+scaled AS (
+  SELECT *, CAST(least(1000000, floor(1000000 * 336.0 / greatest(width, height)))
+                 AS BIGINT) AS scale_num
+  FROM typed
+)
+SELECT media_id, kind, width, height,
+       CAST(floor(width * scale_num / 1000000.0) AS INTEGER) AS out_width,
+       CAST(floor(height * scale_num / 1000000.0) AS INTEGER) AS out_height,
+       scale_num
+FROM scaled
+"""
+
+    sql["frame_sample"] = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         coalesce(text, '') AS content
+  FROM documents
+),
+decoded AS (
+  SELECT media_id, kind, content,
+         cast(concat('0x', substr(md5(content), 1, 15)) as ubigint)::bigint AS h
+  FROM media
+),
+v AS (
+  SELECT media_id, content,
+         CAST((h >> 32) % 240 + 1 AS INTEGER) AS n_frames
+  FROM decoded WHERE kind = 'video'
+)
+SELECT media_id,
+       CAST((s.s * n_frames) // least(4, n_frames) AS INTEGER) AS frame_no,
+       CAST(((s.s * n_frames) // least(4, n_frames)) * 1000 // 24 AS BIGINT)
+         AS frame_ts_ms,
+       md5(content || ':' ||
+           CAST((s.s * n_frames) // least(4, n_frames) AS VARCHAR)) AS frame_md5
+FROM v, LATERAL (SELECT unnest(range(least(4, n_frames))) AS s) s
 """
 
     sql["media_stats"] = """

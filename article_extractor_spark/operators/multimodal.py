@@ -108,3 +108,88 @@ def media_stats(decoded: DataFrame) -> DataFrame:
         (F.sum("height").cast("double") / n).alias("avg_height"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("scale_num", LongType()),    # exact rational scale (x1e6)
+])
+
+
+def resize_media(decoded: DataFrame, max_side: int = 336) -> DataFrame:
+    """Aspect-preserving resize planning over decoded metadata — the
+    DataFrame half of a resize stage (the pixel work is the codec stub's
+    job).  Pure projection, zero shuffle; integer math only so the oracle
+    matches bit-exactly: scale = 1e6 * max_side / longest_side (floored),
+    out = floor(dim * scale / 1e6), never upscaled."""
+    longest = F.greatest(F.col("width"), F.col("height"))
+    # explicit floor everywhere: Spark's cast truncates but DuckDB's CAST
+    # rounds, so the oracle must share the floor, not the cast
+    scale = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(F.lit(1_000_000) * max_side / longest).cast("long"),
+    )
+    return decoded.select(
+        "media_id", "kind", "width", "height",
+        F.floor(F.col("width") * scale / F.lit(1_000_000))
+        .cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale / F.lit(1_000_000))
+        .cast("int").alias("out_height"),
+        scale.alias("scale_num"),
+    )
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_ts_ms", LongType()),
+    StructField("frame_md5", StringType()),
+])
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame], n_frames: int,
+                          fps: int) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "frame_no", "frame_ts_ms",
+                               "frame_md5")}
+        for mid, kind, content, total in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"], pdf["n_frames"]):
+            if kind != "video":
+                continue
+            data = bytes(content) if content is not None else b""
+            total = int(total)
+            take = min(n_frames, total)
+            for s in range(take):
+                # evenly spaced frame indices over [0, total)
+                idx = (s * total) // take
+                out["media_id"].append(mid)
+                out["frame_no"].append(idx)
+                out["frame_ts_ms"].append(idx * 1000 // fps)
+                # stub "decode of frame idx": hash of payload + index
+                out["frame_md5"].append(
+                    hashlib.md5(data + b":" + str(idx).encode()).hexdigest())
+        yield pd.DataFrame(out) if out["media_id"] else pd.DataFrame(
+            {k: pd.Series([], dtype="object") for k in out})
+
+
+def frame_sample(media: DataFrame, decoded: DataFrame, n_frames: int = 4,
+                 fps: int = 24, num_partitions: int | None = None) -> DataFrame:
+    """Evenly-spaced frame sampling for video payloads: joins the binary
+    payload with its decoded frame count, then an Arrow-batched UDF emits
+    one row per sampled frame (real codec plugs into the md5 stub).  The
+    join is key-partitioned on media_id; output fan-out is exactly
+    min(n_frames, total_frames) per video."""
+    joined = media.select("media_id", "kind", "content").join(
+        decoded.select("media_id", "n_frames"), "media_id")
+    if num_partitions:
+        joined = joined.repartition(num_partitions, F.xxhash64("media_id"))
+
+    def fn(batches):
+        return _frame_sample_batches(batches, n_frames, fps)
+
+    return joined.mapInPandas(fn, FRAME_SCHEMA)

@@ -198,6 +198,34 @@ def test_media_decode_stub(spark):
         decode_image_real(b"\x89PNG")
 
 
+def test_media_resize_and_frame_sample(spark):
+    from article_extractor_spark.operators.multimodal import (decode_media,
+                                                              frame_sample,
+                                                              resize_media,
+                                                              synthesize_media)
+
+    media = synthesize_media(spark, "/root/testdata/sf0.001")
+    decoded = decode_media(media).cache()
+    rs = resize_media(decoded, max_side=336).collect()
+    assert len(rs) == decoded.count()
+    for r in rs:
+        assert max(r["out_width"], r["out_height"]) <= 336
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        if max(r["width"], r["height"]) <= 336:
+            # never upscaled: small media keep exact dimensions
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+
+    frames = frame_sample(media, decoded, n_frames=4, fps=24)
+    per = {r["media_id"]: r["n"] for r in
+           frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r["media_id"]: (r["kind"], r["n_frames"])
+              for r in decoded.select("media_id", "kind", "n_frames").collect()}
+    for mid, (kind, total) in counts.items():
+        expected = min(4, total) if kind == "video" else None
+        assert per.get(mid) == expected, (mid, kind, total)
+    decoded.unpersist()
+
+
 def test_broadcast_in_ann_plan(spark):
     """The query side of the ANN join must be broadcast, not shuffled."""
     from article_extractor_spark.operators.similarity import brute_force_topk
