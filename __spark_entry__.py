@@ -208,6 +208,43 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), num_bands=8)
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line dedup over docs wrapped in synthetic boilerplate
+    (banner+footer on every doc): the corpus-frequent lines are dropped,
+    the body survives, order preserved."""
+    from article_extractor_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("ACCEPT ALL COOKIES TO CONTINUE\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n(c) Synthetic News Network - all rights reserved"),
+        ).alias("text"),
+    )
+    return line_dedup(docs, max_line_docs=2)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub: emails/IPv4/phone-like runs redacted with typed
+    placeholders over docs salted with synthetic PII."""
+    from article_extractor_spark.operators.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 192.168."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
 def q_dedup_chunks(spark, sf_dir):
     """Exact-chunk containment pairs (64-char chunks, >=30% of the smaller
     doc's chunks shared) — the exact-substring dedup family."""
@@ -496,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_full": q_dedup_clusters_full,
         "dedup_chunks": q_dedup_chunks,
+        "line_dedup": q_line_dedup,
+        "scrub_pii": q_scrub_pii,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "asof_join": q_asof_join,
@@ -830,6 +869,62 @@ reach(id, r) AS (
 labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
 SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
+    sql["line_dedup"] = """
+WITH wrapped AS (
+  SELECT doc_id,
+         'ACCEPT ALL COOKIES TO CONTINUE' || chr(10) || coalesce(text, '')
+         || chr(10) || '(c) Synthetic News Network - all rights reserved'
+           AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM wrapped
+),
+lines AS (
+  SELECT doc_id, i.i AS pos, arr[i.i + 1] AS line, trim(arr[i.i + 1]) AS t
+  FROM split, LATERAL (SELECT unnest(range(len(arr))) AS i) i
+),
+hot AS (
+  SELECT t FROM lines WHERE length(t) >= 10
+  GROUP BY t HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN hot h ON h.t = l.t WHERE h.t IS NULL
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       count(*) AS n_lines_kept
+FROM kept GROUP BY doc_id
+"""
+
+    _pii = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+        ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ]
+    _salted = """
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call +1 (555) 010-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+"""
+    # NB: DuckDB single-quoted strings do NOT process backslash escapes
+    # (unlike Spark SQL literals), so patterns go in verbatim
+    _counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{n}"
+        for n, p, _ in _pii
+    )
+    _clean = "text"
+    for n, p, r in _pii:
+        _clean = f"regexp_replace({_clean}, '{p}', '{r}', 'g')"
+    sql["scrub_pii"] = f"""
+WITH salted AS ({_salted})
+SELECT doc_id, {_counts}, {_clean} AS clean_text
+FROM salted
 """
 
     sql["dedup_chunks"] = """

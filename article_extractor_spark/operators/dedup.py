@@ -343,6 +343,52 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               max_line_docs: int = 2, min_line_len: int = 10) -> DataFrame:
+    """CCNet-style line-level dedup: drop every line that occurs (after
+    trimming) in more than ``max_line_docs`` distinct documents — the
+    standard boilerplate scrub (cookie banners, nav crumbs, footers) —
+    and reassemble each document's surviving lines in order.
+
+    Short lines (< ``min_line_len`` chars after trim) are kept
+    unconditionally: they are too ambiguous to be evidence of boilerplate
+    and removing them mangles lists.
+
+    Scale shape: posexplode keeps (doc, position); the cross-corpus line
+    frequency is ONE groupBy on the trimmed line (uniform-ish key, hot
+    boilerplate lines are exactly what we count and drop); reassembly is
+    a groupBy(doc) of the surviving lines sorted by position — each doc's
+    lines are tiny, so the final combine is narrow."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("pos", "line"),
+    ).withColumn("t", F.trim(F.col("line")))
+    lines = lines.cache()
+
+    hot = (
+        lines.where(F.length("t") >= min_line_len)
+        .groupBy("t")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .where(F.col("_docs") > max_line_docs)
+        .select("t")
+    )
+    kept = lines.join(F.broadcast(hot), "t", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+
+
 def chunk_containment_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", chunk_len: int = 64,
                             threshold: float = 0.5,

@@ -127,6 +127,34 @@ def _gram_hash(g):
     return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
 
 
+# conservative, SQL-portable PII patterns (anchored to token-ish contexts)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs with typed
+    placeholders and count the redactions per document — the standard
+    pre-training scrub pass.  Pure JVM projection (chained
+    regexp_replace + regexp_count), zero shuffle, order of patterns is
+    fixed (email before phone so an address's digits never half-match)."""
+    clean = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("\\", "\\\\")  # SQL-literal escaping for expr
+        counts.append(
+            F.expr(
+                f"size(regexp_extract_all(coalesce({text_col}, ''), '{sql_pat}', 0))"
+            ).alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
 def stratified_sample(df: DataFrame, rates: dict[str, float],
                       strata_col: str = "lang", id_col: str = "doc_id",
                       default_rate: float = 0.0, seed: str = "mix1") -> DataFrame:

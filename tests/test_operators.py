@@ -301,6 +301,42 @@ def test_dedup_clusters_full_covers_all(spark, docs):
     assert out[3] == 3 and out[4] == 4      # singletons map to themselves
 
 
+def test_line_dedup(spark):
+    """Corpus-frequent long lines drop, order is preserved, short lines
+    and rare lines survive; a doc of pure boilerplate vanishes."""
+    from article_extractor_spark.operators.dedup import line_dedup
+
+    banner = "ACCEPT ALL COOKIES RIGHT NOW PLEASE"
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\nunique body {i}\nok\n{banner}") for i in range(5)]
+        + [(99, banner)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_line_docs=2).collect()}
+    assert 99 not in out                       # all lines were boilerplate
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique body {i}\nok"
+        assert out[i]["n_lines_kept"] == 2
+    # short repeated lines ('ok') are kept unconditionally
+    assert all("ok" in out[i]["clean_text"] for i in range(5))
+
+
+def test_scrub_pii(spark):
+    from article_extractor_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-ample.org and 10.0.0.1 or +1 (555) 123-4567 end"),
+         (1, "no pii here"), (2, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_phone"]) == (1, 1, 1)
+    assert "<EMAIL>" in r0["clean_text"] and "<IP>" in r0["clean_text"]
+    assert "<PHONE>" in r0["clean_text"]
+    assert "a.b+c@" not in r0["clean_text"] and "10.0.0.1" not in r0["clean_text"]
+    assert rows[1]["clean_text"] == "no pii here"
+    assert rows[2]["clean_text"] == ""         # NULL text treated as ''
+
+
 def test_chunk_containment(spark):
     """Asymmetric containment: a doc quoting half of another scores 1.0
     on the smaller doc even when symmetric overlap is low; unrelated docs
