@@ -225,6 +225,14 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(docs, max_line_docs=2)
 
 
+def q_script_detect(spark, sf_dir):
+    """Unicode-script ratios + argmax (the CJK-capable complement of the
+    stopword language-ID)."""
+    from article_extractor_spark.operators.textstats import script_detect
+
+    return script_detect(_docs(spark, sf_dir))
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub: emails/IPv4/phone-like runs redacted with typed
     placeholders over docs salted with synthetic PII."""
@@ -535,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
+        "script_detect": q_script_detect,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "asof_join": q_asof_join,
@@ -912,6 +921,24 @@ FROM kept GROUP BY doc_id
          || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
   FROM documents
 """
+    from article_extractor_spark.operators.textstats import SCRIPT_RANGES
+
+    _rat = ", ".join(
+        f"round(length(regexp_replace(text, '[^{rng}]', '', 'g')) * 1.0 / "
+        f"greatest(length(text), 1), 6) AS ratio_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    _best = "greatest(" + ", ".join(f"ratio_{s}" for s in SCRIPT_RANGES) + ")"
+    _pred = "CASE " + " ".join(
+        f"WHEN ratio_{s} = {_best} THEN '{s}'" for s in SCRIPT_RANGES) + " END"
+    sql["script_detect"] = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+scored AS (SELECT doc_id, {_rat} FROM docs)
+SELECT doc_id, {', '.join(f'ratio_{s}' for s in SCRIPT_RANGES)},
+       CASE WHEN {_best} <= 0.0 THEN 'unknown' ELSE {_pred} END AS pred_script
+FROM scored
+"""
+
     # NB: DuckDB single-quoted strings do NOT process backslash escapes
     # (unlike Spark SQL literals), so patterns go in verbatim
     _counts = ", ".join(

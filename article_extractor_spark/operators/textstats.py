@@ -127,6 +127,45 @@ def _gram_hash(g):
     return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
 
 
+# ranges as LITERAL characters: Java regex accepts \\uXXXX but DuckDB's
+# RE2 does not, and literal chars work identically in both
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cjk": (f"{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3040)}-{chr(0x30FF)}"
+            f"{chr(0xAC00)}-{chr(0xD7AF)}"),
+    "cyrillic": f"{chr(0x0400)}-{chr(0x04FF)}",
+    "arabic": f"{chr(0x0600)}-{chr(0x06FF)}",
+}
+
+
+def script_detect(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script detection: per-script character ratios and an argmax
+    prediction — the complement of stopword language-ID for scripts where
+    word lists do not apply (CJK has no whitespace-delimited stopwords).
+    Zero shuffle; ratios are round(count/chars, 6) with a deterministic
+    declaration-order tie-break."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    cols = [F.col(id_col)]
+    for name, rng in SCRIPT_RANGES.items():
+        cnt = F.length(
+            F.regexp_replace(F.col(text_col), f"[^{rng}]", ""))
+        cols.append(F.round(cnt / n_chars, 6).alias(f"ratio_{name}"))
+    scored = df.select(*cols)
+    best = F.greatest(*[F.col(f"ratio_{s}") for s in SCRIPT_RANGES])
+    pred = None
+    for s in SCRIPT_RANGES:
+        branch = (F.when(F.col(f"ratio_{s}") == best, F.lit(s)) if pred is None
+                  else pred.when(F.col(f"ratio_{s}") == best, F.lit(s)))
+        pred = branch
+    return scored.select(
+        id_col, *[f"ratio_{s}" for s in SCRIPT_RANGES],
+        F.when(best <= 0.0, F.lit("unknown")).otherwise(pred)
+        .alias("pred_script"),
+    )
+
+
 # conservative, SQL-portable PII patterns (anchored to token-ish contexts)
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -320,6 +320,24 @@ def test_line_dedup(spark):
     assert all("ok" in out[i]["clean_text"] for i in range(5))
 
 
+def test_script_detect(spark):
+    from article_extractor_spark.operators.textstats import script_detect
+
+    docs = spark.createDataFrame(
+        [(0, "hello plain english text"),
+         (1, "这是一段中文文本内容测试"),
+         (2, "Привет мир это кириллица"),
+         (3, "مرحبا بالعالم هذا نص عربي"),
+         (4, "12345 !!! ???"), (5, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["pred_script"] for r in script_detect(docs).collect()}
+    assert rows[0] == "latin"
+    assert rows[1] == "cjk"
+    assert rows[2] == "cyrillic"
+    assert rows[3] == "arabic"
+    assert rows[4] == "unknown" and rows[5] == "unknown"
+
+
 def test_scrub_pii(spark):
     from article_extractor_spark.operators.textstats import scrub_pii
 
