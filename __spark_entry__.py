@@ -274,6 +274,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (8 subspaces x 8-entry codebooks):
+    one row per (vector, subspace) with the assigned code."""
+    from article_extractor_spark.operators.similarity import pq_encode
+
+    enc = pq_encode(_emb(spark, sf_dir), num_subspaces=8, codebook_size=8)
+    return enc.select(
+        "vec_id", F.posexplode(F.col("codes")).alias("subspace", "code"))
+
+
 def q_kmeans_iter(spark, sf_dir):
     """One k-means Lloyd iteration over the embeddings (assign to seed
     centroids -> exact quantized member means per dimension)."""
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": q_script_detect,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
+        "pq_encode": q_pq_encode,
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
@@ -1030,6 +1041,31 @@ SELECT doc_id, n_tokens,
        CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_first,
        CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS pack_last
 FROM c
+"""
+
+    sql["pq_encode"] = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+d AS (
+  SELECT e.vec_id, s.s AS subspace, c.code,
+         list_sum(list_transform(range(8), i ->
+           (CAST(e.embedding[s.s * 8 + i + 1] AS DOUBLE)
+            - CAST(c.embedding[s.s * 8 + i + 1] AS DOUBLE))
+           * (CAST(e.embedding[s.s * 8 + i + 1] AS DOUBLE)
+              - CAST(c.embedding[s.s * 8 + i + 1] AS DOUBLE)))) AS dist
+  FROM embeddings e, (SELECT unnest(range(8)) AS s) s, cb c
+),
+r AS (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist ASC, code ASC) AS rk
+  FROM d
+)
+SELECT vec_id, CAST(subspace AS INTEGER) AS subspace,
+       CAST(code AS INTEGER) AS code
+FROM r WHERE rk = 1
 """
 
     sql["asof_join"] = """

@@ -175,6 +175,55 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def pq_encode(emb: DataFrame, num_subspaces: int = 8, codebook_size: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dims: int | None = None) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``num_subspaces`` contiguous subvectors; each subvector is encoded as
+    the id of its nearest (L2) codebook entry.  Codebooks are
+    deterministic seed sets — the first ``codebook_size`` vectors' own
+    subvectors (a k-means pass refines them at scale; the encode path is
+    identical).  Output: (id, codes array<int>, one code per subspace) —
+    the 64-dim float vector compresses to 8 bytes.
+
+    Scale shape: codebooks are tiny driver-side literals baked into ONE
+    per-row projection (zero shuffle, zero join); ties break toward the
+    lower code id via strict < comparison in declaration order."""
+    if dims is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("_d")).first()
+        dims = int(row["_d"]) if row is not None and row["_d"] is not None else num_subspaces
+    sub_len = dims // num_subspaces
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(codebook_size).collect()
+    ]
+
+    def dist_expr(s: int, code: int):
+        # exact L2^2 of subspace s against codebook entry `code`
+        start = s * sub_len
+        cb = seeds[code][start:start + sub_len]
+        arr = F.array(*[F.lit(v) for v in cb])
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), start + 1, sub_len), arr,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for s in range(num_subspaces):
+        best_code = F.lit(0)
+        best_dist = dist_expr(s, 0)
+        for code in range(1, len(seeds)):
+            d = dist_expr(s, code)
+            improved = d < best_dist
+            best_code = F.when(improved, F.lit(code)).otherwise(best_code)
+            best_dist = F.when(improved, d).otherwise(best_dist)
+        codes.append(best_code.cast("int"))
+    return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
 def kmeans_iterate(emb: DataFrame, num_centroids: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """One Lloyd iteration over the embedding table: assign every vector

@@ -446,6 +446,22 @@ def test_pack_sequences(spark):
     assert not heavy, heavy
 
 
+def test_pq_encode(spark):
+    """Seed vectors encode to their own codebook id in every subspace
+    (distance 0 to themselves); a vector equal to seed j's subvector in
+    one subspace gets code j there."""
+    from article_extractor_spark.operators.similarity import pq_encode
+
+    vecs = [(i, [float(i)] * 8) for i in range(4)]          # seeds 0..3
+    vecs.append((10, [0.0, 0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 3.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["codes"] for r in
+           pq_encode(emb, num_subspaces=2, codebook_size=4).collect()}
+    for i in range(4):
+        assert out[i] == [i, i]
+    assert out[10] == [0, 3]
+
+
 def test_ivf_topk(spark):
     from article_extractor_spark.operators.similarity import (brute_force_topk,
                                                               ivf_topk)
