@@ -275,6 +275,37 @@ def test_asof_join_semantics(spark):
     assert {r["event_id"] for r in inner.collect()} == {1, 2}
 
 
+def test_asof_join_fuzz_vs_reference(spark):
+    """Randomized as-of joins vs a brute-force Python reference: for every
+    left row, value of the max right_ts <= left_ts within the key."""
+    import random
+
+    from article_extractor_spark.operators.joins import asof_join
+
+    rng = random.Random(1234)
+    import datetime
+    T0 = datetime.datetime(2024, 1, 1)
+
+    for trial in range(3):
+        lrows = [(i, rng.randrange(4),
+                  T0 + datetime.timedelta(seconds=rng.randrange(1000)))
+                 for i in range(120)]
+        rrows_raw = {(rng.randrange(4),
+                      T0 + datetime.timedelta(seconds=rng.randrange(1000)))
+                     for _ in range(60)}
+        rrows = [(k, ts, j * 10) for j, (k, ts) in enumerate(sorted(
+            rrows_raw, key=lambda x: (x[0], x[1])))]
+        left = spark.createDataFrame(lrows, "event_id long, k long, ts timestamp")
+        right = spark.createDataFrame(rrows, "k long, ts timestamp, val long")
+        got = {r["event_id"]: r["val"]
+               for r in asof_join(left, right, key="k",
+                                  right_vals=("val",)).collect()}
+        for eid, k, ts in lrows:
+            cand = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
+            want = max(cand)[1] if cand else None
+            assert got[eid] == want, (trial, eid)
+
+
 def test_kmeans_iterate_exact_means(spark):
     """Member means per dimension are exact (quantized integer sums)."""
     from article_extractor_spark.operators.similarity import kmeans_iterate
