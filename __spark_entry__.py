@@ -274,6 +274,14 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16)
 
 
+def q_kmeans_full(spark, sf_dir):
+    """Full k-means Lloyd loop (1 refinement round): final per-vector
+    assignment against the recomputed centroids."""
+    from article_extractor_spark.operators.similarity import kmeans
+
+    return kmeans(_emb(spark, sf_dir), num_centroids=8, n_iter=1)
+
+
 def q_pq_encode(spark, sf_dir):
     """Product-quantization encode (8 subspaces x 8-entry codebooks):
     one row per (vector, subspace) with the assigned code."""
@@ -556,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": q_script_detect,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
+        "kmeans_full": q_kmeans_full,
         "pq_encode": q_pq_encode,
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
@@ -1041,6 +1050,42 @@ SELECT doc_id, n_tokens,
        CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_first,
        CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS pack_last
 FROM c
+"""
+
+    _cos0 = (f"round({_dot_sql('e.embedding', 'c.cvec')} / "
+             f"({_norm_sql('e.embedding')} * {_norm_sql('c.cvec')}), 6)")
+    sql["kmeans_full"] = f"""
+WITH cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+    FROM embeddings e, cents0 c
+  ) WHERE rk = 1
+),
+m AS (
+  SELECT a.centroid_id, d.i AS dim,
+         CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS mean_val
+  FROM embeddings e
+  JOIN a0 a ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT centroid_id, list(mean_val ORDER BY dim) AS cvec FROM m GROUP BY 1
+),
+ranked AS (
+  SELECT e.vec_id, c.centroid_id, {_cos0} AS centroid_sim,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+  FROM embeddings e, c1 c
+)
+SELECT vec_id, centroid_id, centroid_sim FROM ranked WHERE rk = 1
 """
 
     sql["pq_encode"] = """

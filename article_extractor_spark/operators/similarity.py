@@ -255,6 +255,49 @@ def kmeans_iterate(emb: DataFrame, num_centroids: int = 8,
     )
 
 
+def _exact_member_means(emb: DataFrame, assign: DataFrame,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """(centroid_id, dim, mean_val): exact quantized per-dimension member
+    means (shared by kmeans_iterate and the full kmeans loop)."""
+    members = emb.join(assign.select(id_col, "centroid_id"), id_col)
+    exploded = members.select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).withColumn("xq", F.round(F.col("x").cast("double") * 1e6).cast("bigint"))
+    n = F.count(F.lit(1))
+    return exploded.groupBy("centroid_id", "dim").agg(
+        (F.sum("xq").cast("double") / F.lit(1e6) / n).alias("mean_val"))
+
+
+def kmeans(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Full Lloyd loop: seed centroids -> n_iter rounds of (assign by
+    cosine, recompute exact member means) -> final assignment.
+
+    Driver-coordinated iteration, the standard Spark k-means shape: each
+    round is one broadcast-join assignment plus one (centroid, dim)-keyed
+    aggregate; only the k x dims mean table (a few KB) is collected to
+    the driver between rounds.  All means are exact (1e-6-quantized
+    integer sums), so every round is bit-identical to the SQL oracle's
+    CTE chain; clusters that lose all members drop out, exactly as in
+    the oracle.  Returns (id, centroid_id, centroid_sim)."""
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    for _ in range(n_iter):
+        assign = ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
+        rows = _exact_member_means(emb, assign, id_col, vec_col).collect()
+        bycid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            bycid.setdefault(r["centroid_id"], {})[r["dim"]] = r["mean_val"]
+        new = [
+            (cid, [vals[d] for d in range(len(vals))])
+            for cid, vals in sorted(bycid.items())
+        ]
+        cents = spark.createDataFrame(
+            new, f"centroid_id long, cvec array<double>"
+        ).select("centroid_id", "cvec", _norm("cvec").alias("cn"))
+    return ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              num_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",

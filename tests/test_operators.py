@@ -477,6 +477,24 @@ def test_pack_sequences(spark):
     assert not heavy, heavy
 
 
+def test_kmeans_converges_on_separable_data(spark):
+    """Two tight, well-separated groups: after one refinement every
+    member lands with its group's centroid and the empty seeds drop."""
+    from article_extractor_spark.operators.similarity import kmeans
+
+    rows = []
+    for i in range(10):           # group A: near [1, 0]
+        rows.append((i, [1.0, 0.01 * i]))
+    for i in range(10, 20):       # group B: near [0, 1]
+        rows.append((i, [0.01 * (i - 10), 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in kmeans(emb, num_centroids=2, n_iter=2).collect()}
+    a = {out[i] for i in range(10)}
+    b = {out[i] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
 def test_pq_encode(spark):
     """Seed vectors encode to their own codebook id in every subspace
     (distance 0 to themselves); a vector equal to seed j's subvector in
