@@ -241,31 +241,25 @@ def kmeans_iterate(emb: DataFrame, num_centroids: int = 8,
     bit-identical to the DuckDB oracle regardless of partition order."""
     cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
     assign = ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
-    members = emb.join(assign.select(id_col, "centroid_id"), id_col)
-    exploded = members.select(
-        "centroid_id",
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
-    ).withColumn(
-        "xq", F.round(F.col("x").cast("double") * 1e6).cast("bigint")
-    )
-    n = F.count(F.lit(1))
-    return exploded.groupBy("centroid_id", "dim").agg(
-        (F.sum("xq").cast("double") / F.lit(1e6) / n).alias("mean_val"),
-        n.alias("n_members"),
-    )
+    return _exact_member_means(emb, assign, id_col, vec_col,
+                               with_counts=True)
 
 
 def _exact_member_means(emb: DataFrame, assign: DataFrame,
-                        id_col: str, vec_col: str) -> DataFrame:
-    """(centroid_id, dim, mean_val): exact quantized per-dimension member
-    means (shared by kmeans_iterate and the full kmeans loop)."""
+                        id_col: str, vec_col: str,
+                        with_counts: bool = False) -> DataFrame:
+    """(centroid_id, dim, mean_val[, n_members]): exact quantized
+    per-dimension member means (shared by kmeans_iterate and the full
+    kmeans loop)."""
     members = emb.join(assign.select(id_col, "centroid_id"), id_col)
     exploded = members.select(
         "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
     ).withColumn("xq", F.round(F.col("x").cast("double") * 1e6).cast("bigint"))
     n = F.count(F.lit(1))
-    return exploded.groupBy("centroid_id", "dim").agg(
-        (F.sum("xq").cast("double") / F.lit(1e6) / n).alias("mean_val"))
+    aggs = [(F.sum("xq").cast("double") / F.lit(1e6) / n).alias("mean_val")]
+    if with_counts:
+        aggs.append(n.alias("n_members"))
+    return exploded.groupBy("centroid_id", "dim").agg(*aggs)
 
 
 def kmeans(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,

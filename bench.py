@@ -122,7 +122,10 @@ def main() -> None:
     suite = () if os.environ.get("AES_BENCH_EXTRACT_ONLY") else (
         "dedup_minhash", "dedup_jaccard", "dedup_simhash",
         "ann_brute", "ann_lsh", "token_counts", "quality",
-        "fingerprint", "media_decode")
+        "fingerprint", "media_decode",
+        # round-2 additions (informational; excluded from the headline
+        # total to keep `value` comparable round-over-round)
+        "pack_sequences", "line_dedup", "asof_join")
     for name in suite:
         fn = qs[name]
         best = None
@@ -134,10 +137,11 @@ def main() -> None:
             spark.catalog.clearCache()  # operator-internal caches
         timings[name] = round(best, 3)
 
-    # suite total excludes the informational extract_narrow variant so the
-    # headline `value` stays comparable round-over-round (r01 had no such
-    # entry)
-    total = round(sum(v for k, v in timings.items() if k != "extract_narrow"), 3)
+    # suite total excludes informational entries (narrow variant and
+    # round-2 query additions) so the headline `value` stays comparable
+    # round-over-round against r01's query set
+    _info = {"extract_narrow", "pack_sequences", "line_dedup", "asof_join"}
+    total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
         "value": total,

@@ -226,6 +226,44 @@ def test_media_resize_and_frame_sample(spark):
     decoded.unpersist()
 
 
+def test_plan_shapes_of_new_operators(spark):
+    """Physical-plan audits for the round-2 operators: the scale
+    properties the docstrings claim must be visible in the plan."""
+    from article_extractor_spark.operators.joins import asof_join
+    from article_extractor_spark.operators.similarity import (hyperplane_bucket,
+                                                              pq_encode)
+    from article_extractor_spark.operators.textstats import (script_detect,
+                                                             scrub_pii,
+                                                             stratified_sample)
+
+    docs = spark.createDataFrame(
+        [(i, "text here", "en") for i in range(50)],
+        "doc_id long, text string, lang string")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # pure projections: zero Exchange
+    for df in (stratified_sample(docs, {"en": 0.5}), scrub_pii(docs),
+               script_detect(docs), hyperplane_bucket(emb, 4, dims=2),
+               pq_encode(emb, num_subspaces=2, codebook_size=2, dims=2)):
+        assert "Exchange" not in plan(df), plan(df)[:500]
+
+    # as-of join: exactly one exchange keyed on the join key (the union
+    # sides co-shuffle), never a cartesian/range join
+    left = docs.select("doc_id", F.col("doc_id").alias("k"),
+                       F.current_timestamp().alias("ts"))
+    right = docs.select(F.col("doc_id").alias("k"),
+                        F.current_timestamp().alias("ts"),
+                        F.lit(1).alias("val"))
+    p = plan(asof_join(left, right, key="k", right_vals=("val",)))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # union sides
+
+
 def test_broadcast_in_ann_plan(spark):
     """The query side of the ANN join must be broadcast, not shuffled."""
     from article_extractor_spark.operators.similarity import brute_force_topk
