@@ -213,8 +213,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
     # hot-shingle guard: the df groupBy shuffles on shingle, the same key
-    # the intersection join needs (co-partitioned); the hot set is tiny so
-    # the anti-join broadcasts
+    # the intersection join needs (co-partitioned).  No broadcast HINT on
+    # the anti-join: at small scale AQE broadcasts it anyway, but on a
+    # boilerplate-heavy 100 TB corpus the hot set itself can be huge and a
+    # forced broadcast would OOM the driver — let AQE choose.
     hot = (
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -225,12 +227,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sa = (
         shingles.withColumnRenamed(id_col, "a_id")
         .join(cands.select("a_id").distinct(), "a_id", "left_semi")
-        .join(F.broadcast(hot), "shingle", "left_anti")
+        .join(hot, "shingle", "left_anti")
     )
     sb = (
         shingles.withColumnRenamed(id_col, "b_id")
         .join(cands.select("b_id").distinct(), "b_id", "left_semi")
-        .join(F.broadcast(hot), "shingle", "left_anti")
+        .join(hot, "shingle", "left_anti")
     )
     shared = (
         sa.join(sb, "shingle")
@@ -373,7 +375,7 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("_docs") > max_line_docs)
         .select("t")
     )
-    kept = lines.join(F.broadcast(hot), "t", "left_anti")
+    kept = lines.join(hot, "t", "left_anti")
     return (
         kept.groupBy(id_col)
         .agg(
@@ -417,7 +419,7 @@ def chunk_containment_pairs(df: DataFrame, text_col: str = "text",
         toks.groupBy("chunk").agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") > max_chunk_df).select("chunk")
     )
-    filtered = toks.join(F.broadcast(hot), "chunk", "left_anti")
+    filtered = toks.join(hot, "chunk", "left_anti")
     a = filtered.withColumnRenamed(id_col, "a_id")
     b = filtered.withColumnRenamed(id_col, "b_id")
     shared = (
