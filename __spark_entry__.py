@@ -492,8 +492,11 @@ def q_curation(spark, sf_dir):
     dups = exact_duplicates(docs).select(
         F.col("text_hash"), F.col("canonical_id"))
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    # no broadcast hint: the duplicate-group dim grows with corpus
+    # duplication and can be unbounded at 100 TB; AQE broadcasts it when
+    # it is actually small
     keep = (
-        hashed.join(F.broadcast(dups), "text_hash", "left")
+        hashed.join(dups, "text_hash", "left")
         .where(
             F.col("canonical_id").isNull()
             | (F.col("canonical_id") == F.col("doc_id"))
