@@ -25,7 +25,9 @@ def write_articles(articles: DataFrame, path: str, num_buckets: int = 64,
 
 def save_html_files(articles: DataFrame, directory: str) -> int:
     """Write each article's html to `<title>.html` (slashes replaced, like
-    article.rs:21-24; untitled articles become 'Unknown Title.html')."""
+    article.rs:21-24; untitled articles become 'Unknown Title.html').
+    Driver-side collect — debug/export convenience for SMALL result sets;
+    use :func:`save_html_files_distributed` for anything big."""
     os.makedirs(directory, exist_ok=True)
     rows = articles.select("title", F.col("text").alias("html")).collect()
     n = 0
@@ -37,3 +39,25 @@ def save_html_files(articles: DataFrame, directory: str) -> int:
             f.write(row["html"])
         n += 1
     return n
+
+
+def save_html_files_distributed(articles: DataFrame, directory: str) -> int:
+    """Executor-side variant of :func:`save_html_files`: each partition
+    writes its own files via ``foreachPartition`` — nothing crosses the
+    driver, so it scales to the full corpus (the directory must be a
+    shared/distributed filesystem on a real cluster).  Same naming rule;
+    duplicate titles last-write-win exactly like the reference's repeated
+    ``save_html`` calls.  Returns the number of files written."""
+    os.makedirs(directory, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            if row["html"] is None:
+                continue
+            name = (row["title"] or "Unknown Title").replace("/", "_") + ".html"
+            with open(os.path.join(directory, name), "w", encoding="utf-8") as f:
+                f.write(row["html"])
+
+    out = articles.select("title", F.col("text").alias("html"))
+    out.foreachPartition(write_partition)
+    return out.where(F.col("html").isNotNull()).count()

@@ -96,6 +96,26 @@ def test_save_html_files(spark, tmp_path):
     assert sorted(os.listdir(tmp_path)) == ["A_B Title.html", "Unknown Title.html"]
 
 
+def test_save_html_files_distributed(spark, tmp_path):
+    """Executor-side writer produces the same files as the driver-side
+    one (local[N] shares the filesystem, like a DFS on a cluster)."""
+    from article_extractor_spark.sources.sinks import (
+        save_html_files, save_html_files_distributed)
+
+    rows = [(f"Doc {i}", f"<article><p>body {i}</p></article>")
+            for i in range(20)] + [(None, "<article>untitled</article>"),
+                                   ("Skipped", None)]
+    df = spark.createDataFrame(rows, "title string, text string")
+    a = tmp_path / "driver"
+    b = tmp_path / "exec"
+    n1 = save_html_files(df, str(a))
+    n2 = save_html_files_distributed(df.repartition(4), str(b))
+    assert n1 == n2 == 21
+    assert sorted(os.listdir(a)) == sorted(os.listdir(b))
+    for name in os.listdir(a):
+        assert (a / name).read_text() == (b / name).read_text()
+
+
 def test_salted_repartition_spreads_skew(spark):
     from article_extractor_spark.operators.extract import extract_articles
 
