@@ -111,6 +111,56 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_stream_sessionize_randomized(spark, tmp_path):
+    """Randomized gaps/values/users across three waves: closed sessions
+    from the stateful stream equal a pure-Python reference sessionizer."""
+    import datetime
+    import random
+
+    rng = random.Random(77)
+    T0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    clocks = {u: rng.randrange(3600) for u in range(6)}
+    for eid in range(300):
+        u = rng.randrange(6)
+        # mix of sub-gap and super-gap advances (gap = 1800s)
+        clocks[u] += rng.choice([60, 300, 1700, 1900, 4000])
+        rows.append((eid, T0 + datetime.timedelta(seconds=clocks[u]), u,
+                     "e", round(rng.uniform(0, 50), 2), "{}"))
+    rows.sort(key=lambda r: r[1])
+
+    # python reference: closed sessions only (a later event ends them)
+    ref = {}
+    state = {}
+    for eid, ts, u, _t, val, _p in rows:
+        ep = int(ts.timestamp())
+        vq = int(round(val * 10000))
+        if u in state and ep - state[u]["last"] > 1800:
+            s = state[u]
+            ref[(u, s["no"])] = (s["n"], s["vq"] / 10000.0, s["last"] - s["start"])
+            state[u] = {"no": s["no"] + 1, "start": ep, "last": ep, "n": 0, "vq": 0}
+        st = state.setdefault(u, {"no": 1, "start": ep, "last": ep, "n": 0, "vq": 0})
+        st["last"] = ep
+        st["n"] += 1
+        st["vq"] += vq
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    third = len(rows) // 3
+    for wave in (rows[:third], rows[third:2 * third], rows[2 * third:]):
+        spark.createDataFrame(wave, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _run_sessionize_stream(spark, in_dir, out_dir, chk)
+
+    got = {(r["user_id"], r["session_no"]):
+           (r["n_events"], r["session_value"], r["duration_sec"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == ref and len(ref) > 10
+
+
 def test_stream_windowed_counts_watermark(spark, tmp_path):
     """Append-mode watermarked window counts: every emitted window row
     equals the batch aggregation of the same data (exactly-once, no
