@@ -157,6 +157,26 @@ def test_salted_repartition_deterministic(spark):
     pages.unpersist()
 
 
+def test_bucket_partition_pruning(spark, tmp_path):
+    """Reads of the bucket-partitioned articles table must prune at the
+    scan (PartitionFilters carries the bucket predicate) — the property
+    that makes resume reads and downstream bucket-scoped queries touch
+    only their slice of a 100 TB output."""
+    import re
+
+    from article_extractor_spark.plans.checkpoint import run_extraction_job
+    from article_extractor_spark.sources.pages import synthesize_pages
+
+    out = str(tmp_path / "job")
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").limit(80)
+    run_extraction_job(spark, pages, out, num_buckets=8)
+    df = spark.read.parquet(os.path.join(out, "articles")) \
+        .where(F.col("bucket").isin([1, 2]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m is not None and "bucket" in m.group(0), plan[:800]
+
+
 def test_plan_pushes_projection(spark, tmp_path):
     """Column pruning must reach the parquet scan: ReadSchema only url,html."""
     from article_extractor_spark.operators.extract import extract_articles
