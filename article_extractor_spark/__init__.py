@@ -1,4 +1,4 @@
 """PySpark-native article extraction engine (from-scratch reimplementation
 of the semantics of rijkvp/article-extractor over Spark DataFrames)."""
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
