@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str = "k",
+    key: str | list[str] = "k",
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_vals: tuple[str, ...] = ("val",),
@@ -27,8 +27,9 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``right_vals`` of the
     most recent ``right`` row (``right_ts <= left_ts``) with the same
-    ``key``; NULLs when no right row precedes it (how='left') or the row
-    is dropped (how='inner').
+    ``key`` (a column name or a list for composite keys); NULLs when no
+    right row precedes it (how='left') or the row is dropped
+    (how='inner').
 
     Scale shape: |L|+|R| rows shuffle ONCE on ``key``; each partition
     sorts by (ts, side) and carries values forward — linear, no
@@ -40,18 +41,19 @@ def asof_join(
     rows on the same (key, ts) resolve to the last by ``right_vals``
     order — keep (key, right_ts) unique for well-defined results.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     # typed NULLs for the right-value slots on the left side
     rv_types = dict(right.select(*right_vals).dtypes)
     l = left.select(
-        F.col(key).alias("_k"),
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(rv_types[c]).alias(f"_rv_{c}") for c in right_vals],
     )
     r = right.select(
-        F.col(key).alias("_k"),
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.select(*lcols).dtypes],
@@ -60,7 +62,7 @@ def asof_join(
     u = l.unionByName(r)
     # right rows sort before left rows at equal ts (<= visibility)
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*[f"_k{i}" for i in range(len(keys))])
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
                  *[F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals])
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -313,6 +313,24 @@ def test_asof_join_semantics(spark):
     assert {r["event_id"] for r in inner.collect()} == {1, 2}
 
 
+def test_asof_join_composite_key(spark):
+    import datetime
+
+    from article_extractor_spark.operators.joins import asof_join
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 0, "x", T(10)), (2, 0, "y", T(10)), (3, 1, "x", T(10))],
+        "event_id long, k1 long, k2 string, ts timestamp")
+    right = spark.createDataFrame(
+        [(0, "x", T(5), 100), (0, "y", T(6), 200), (1, "x", T(20), 300)],
+        "k1 long, k2 string, ts timestamp, val long")
+    out = {r["event_id"]: r["val"]
+           for r in asof_join(left, right, key=["k1", "k2"],
+                              right_vals=("val",)).collect()}
+    assert out == {1: 100, 2: 200, 3: None}
+
+
 def test_asof_join_fuzz_vs_reference(spark):
     """Randomized as-of joins vs a brute-force Python reference: for every
     left row, value of the max right_ts <= left_ts within the key."""
