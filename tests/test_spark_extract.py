@@ -157,6 +157,28 @@ def test_salted_repartition_deterministic(spark):
     pages.unpersist()
 
 
+def test_large_document_through_arrow(spark):
+    """The reference's 460 KB criterion page (slow.html) through the
+    Spark mapInArrow path: large binary payloads must survive the Arrow
+    exchange and extract identically to the pure core."""
+    from article_extractor_spark.core.pipeline import get_parser
+    from article_extractor_spark.core.urlutil import Url
+    from article_extractor_spark.operators.extract import extract_articles
+
+    path = "/root/reference/resources/tests/slow.html"
+    with open(path, encoding="utf-8", errors="replace") as f:
+        html = f.read()
+    url = "https://spectrum.ieee.org/stellarator"
+    pages = spark.createDataFrame(
+        [(url, bytearray(html.encode("utf-8")))], "url string, html binary")
+    rows = extract_articles(pages).collect()
+    assert len(rows) == 1
+    core = get_parser().parse_offline([html], url=Url.parse(url))
+    assert rows[0]["title"] == core.title
+    assert rows[0]["text"] == core.html
+    assert "Stellarator" in (rows[0]["title"] or "")
+
+
 def test_bucket_partition_pruning(spark, tmp_path):
     """Reads of the bucket-partitioned articles table must prune at the
     scan (PartitionFilters carries the bucket predicate) — the property
