@@ -408,9 +408,15 @@ def chunk_containment_pairs(df: DataFrame, text_col: str = "text",
     value — exact chunks are near-unique outside true duplication, so
     fan-out is bounded; ``max_chunk_df`` drops degenerate chunks
     (boilerplate banners) exactly like the jaccard hot-shingle cap."""
+    # Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a doc shorter
+    # than chunk_len would emit a partial chunk plus a negative-start
+    # substr slice and falsely match other short docs.  Short/NULL docs
+    # contribute no chunks at all (matching the DuckDB oracle's range()).
     chunks_expr = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length(coalesce({text_col}, '')) div {chunk_len}, 0)), "
-        f"i -> substr({text_col}, (i - 1) * {chunk_len} + 1, {chunk_len})))"
+        f"CASE WHEN length(coalesce({text_col}, '')) >= {chunk_len} "
+        f"THEN array_distinct(transform(sequence(1, length({text_col}) div {chunk_len}), "
+        f"i -> substr({text_col}, (i - 1) * {chunk_len} + 1, {chunk_len}))) "
+        f"ELSE array() END"
     )
     toks = df.select(F.col(id_col), F.explode(chunks_expr).alias("chunk"))
     toks = toks.cache()

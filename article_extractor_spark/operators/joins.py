@@ -37,45 +37,53 @@ def asof_join(
     single key exceeds a partition).
 
     Equal timestamps: the right row is visible to left rows at the same
-    timestamp (<= semantics, matching DuckDB ASOF).  Duplicate right
-    rows on the same (key, ts) resolve to the last by ``right_vals``
-    order — keep (key, right_ts) unique for well-defined results.
+    timestamp (<= semantics, matching DuckDB ASOF).  The matched right
+    row is carried as ONE struct, so all ``right_vals`` come from the
+    same row, and a matched row whose value columns are NULL yields
+    NULLs (the latest row wins regardless of its values — DuckDB ASOF
+    semantics), never an older row's values.  Duplicate right rows on
+    the same (key, ts) resolve deterministically to the row with the
+    greatest ``struct(right_vals)`` (field-wise comparison).
     """
     keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
-    # typed NULLs for the right-value slots on the left side
-    rv_types = dict(right.select(*right_vals).dtypes)
+    rv_struct = lambda: F.struct(*[F.col(c).alias(c) for c in right_vals])  # noqa: E731
+    rv_type = right.select(rv_struct().alias("_r")).schema["_r"].dataType
     l = left.select(
         *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rv_types[c]).alias(f"_rv_{c}") for c in right_vals],
+        # NULL struct for left rows: last(_r, ignorenulls) skips them, so
+        # the carry is keyed on right-ROW presence, not value presence.
+        F.lit(None).cast(rv_type).alias("_r"),
     )
     r = right.select(
         *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.select(*lcols).dtypes],
-        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
+        rv_struct().alias("_r"),
     )
     u = l.unionByName(r)
-    # right rows sort before left rows at equal ts (<= visibility)
+    # right rows sort before left rows at equal ts (<= visibility);
+    # duplicate right (key, ts) rows sort by the whole value struct, so
+    # `last` deterministically picks the greatest one.
     w = (
         Window.partitionBy(*[f"_k{i}" for i in range(len(keys))])
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
-                 *[F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals])
+                 F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
         "*",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-          for c in right_vals],
+        F.last("_r", ignorenulls=True).over(w).alias("_asof"),
     ).where(F.col("_side") == 1)
     out = carried.select(
         *lcols,
-        *[F.col(f"_asof_{c}").alias(c) for c in right_vals],
+        F.col("_asof").alias("_asof"),
+        *[F.col(f"_asof.{c}").alias(c) for c in right_vals],
     )
     if how == "inner":
-        out = out.where(F.col(right_vals[0]).isNotNull())
-    return out
+        out = out.where(F.col("_asof").isNotNull())
+    return out.drop("_asof")

@@ -36,11 +36,21 @@ def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     Reads through Spark's Hadoop filesystem layer so resume works for ANY
     URI the job can write to (s3a://, hdfs://, local) — an os.path probe
     silently returns empty for remote paths, turning the advertised exact
-    resume into a full reprocess."""
+    resume into a full reprocess.
+
+    Only a missing path means "no completed buckets"; any other failure
+    (permissions, corrupt footer, transient FS error) re-raises — silently
+    treating it as empty would degrade exact resume to a full reprocess
+    and append duplicate lineage/checkpoint rows for re-done buckets."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(checkpoint_dir).select("bucket").distinct()
-    except Exception:  # AnalysisException: path missing / no parquet yet
-        return spark.createDataFrame([], "bucket int")
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], "bucket int")
+        raise
 
 
 def mark_completed(spark: SparkSession, checkpoint_dir: str, buckets: list[int],

@@ -47,17 +47,32 @@ def save_html_files_distributed(articles: DataFrame, directory: str) -> int:
     driver, so it scales to the full corpus (the directory must be a
     shared/distributed filesystem on a real cluster).  Same naming rule;
     duplicate titles last-write-win exactly like the reference's repeated
-    ``save_html`` calls.  Returns the number of files written."""
+    ``save_html`` calls, but each file lands via write-to-temp + atomic
+    rename, so concurrent same-title writers from different partitions
+    can never interleave into a torn file — the last rename wins whole.
+    Returns the number of files written, counted inside the single
+    writer pass via an accumulator (no second lineage execution, so the
+    count always agrees with the files written even for nondeterministic
+    upstreams)."""
     os.makedirs(directory, exist_ok=True)
+    sc = articles.sparkSession.sparkContext
+    written = sc.accumulator(0)
 
     def write_partition(rows) -> None:
+        import os as _os
+        import uuid as _uuid
+
         for row in rows:
             if row["html"] is None:
                 continue
             name = (row["title"] or "Unknown Title").replace("/", "_") + ".html"
-            with open(os.path.join(directory, name), "w", encoding="utf-8") as f:
+            final = _os.path.join(directory, name)
+            tmp = final + "." + _uuid.uuid4().hex[:12] + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write(row["html"])
+            _os.replace(tmp, final)  # atomic on POSIX: whole-file last-write-wins
+            written.add(1)
 
-    out = articles.select("title", F.col("text").alias("html"))
-    out.foreachPartition(write_partition)
-    return out.where(F.col("html").isNotNull()).count()
+    articles.select("title", F.col("text").alias("html")).foreachPartition(
+        write_partition)
+    return written.value

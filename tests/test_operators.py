@@ -467,6 +467,56 @@ def test_chunk_containment(spark):
                                    max_chunk_df=5).count() == 0
 
 
+def test_chunk_containment_short_docs(spark):
+    """Docs shorter than chunk_len emit NO chunks (contract: full chunks
+    only, tail ignored) — identical short docs, empty docs, and NULL-text
+    docs must never be flagged as duplicates.  Regression for Spark's
+    descending sequence(1, 0) == [1, 0] footgun."""
+    from article_extractor_spark.operators.dedup import chunk_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "short dup"), (1, "short dup"),       # identical, < 64 chars
+         (2, ""), (3, ""),                          # identical empty
+         (4, None), (5, None),                      # NULL text
+         (6, "a" * 64), (7, "a" * 64 + "tail!")],   # one real full chunk
+        "doc_id long, text string")
+    rows = {(r["a_id"], r["b_id"]): r
+            for r in chunk_containment_pairs(docs, threshold=0.5).collect()}
+    # ONLY the pair with a genuine shared 64-char chunk survives; the
+    # tail of doc 7 contributes nothing (n_chunks == 1 on both sides)
+    assert set(rows) == {(6, 7)}
+    assert rows[(6, 7)]["na"] == 1 and rows[(6, 7)]["nb"] == 1
+    assert rows[(6, 7)]["containment"] == 1.0
+
+
+def test_asof_join_null_values_and_duplicate_right_rows(spark):
+    """DuckDB ASOF semantics: the LATEST matching right row wins even when
+    its value columns are NULL (no carry-forward of an older row's value);
+    multiple right_vals always come from the same row; duplicate right
+    (key, ts) rows resolve deterministically to the greatest value struct."""
+    import datetime
+
+    from article_extractor_spark.operators.joins import asof_join
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 0, T(10)), (2, 1, T(10)), (3, 2, T(10))],
+        "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(0, T(2), 100, "old"),  (0, T(5), None, None),   # latest is NULL-valued
+         (1, T(4), 200, "a"),    (1, T(4), 201, "b"),     # dup (key, ts)
+         (2, T(3), None, "only_v2")],                     # mixed-null columns
+        "k long, ts timestamp, v1 long, v2 string")
+    out = {r["event_id"]: (r["v1"], r["v2"]) for r in asof_join(
+        left, right, key="k", right_vals=("v1", "v2")).collect()}
+    assert out[1] == (None, None)        # latest row's NULLs, not (100, 'old')
+    assert out[2] == (201, "b")          # greatest struct of the tied pair
+    assert out[3] == (None, "only_v2")   # both columns from the same row
+    # inner keeps event 1: a right row MATCHED even though its values are NULL
+    inner = asof_join(left, right, key="k", right_vals=("v1", "v2"), how="inner")
+    assert {r["event_id"] for r in inner.collect()} == {1, 2, 3}
+
+
 def test_stratified_sample_properties(spark):
     """Deterministic, rate-monotone (superset property), rate-accurate,
     and strata-isolated."""
