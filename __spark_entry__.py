@@ -89,15 +89,23 @@ def q_extract_titles(spark, sf_dir):
 
 
 def q_extract_fulltext(spark, sf_dir):
-    """Extraction incl. the serialized article text (not SQL-expressible:
-    rows-only driver check)."""
+    """Extraction incl. the serialized article text, value-checked: the
+    query emits md5(text); the oracle embeds per-url expected checksums
+    computed by the pure-Python core over the byte-identical page
+    template (sources/pages.py synthesize_page_py) — so the driver's
+    hash gate pins the FULL readability output, not just row counts."""
     from article_extractor_spark.operators.extract import extract_articles
 
     arts = extract_articles(_pages(spark, sf_dir),
                             config_broadcast=_configs(spark), num_partitions=16)
+    # hard-failed docs (NULL text/title) coalesce to sentinels: a nullable
+    # int column becomes float64+NaN through the driver's pandas path
     return arts.select(
-        "url", "title",
-        F.octet_length("text").alias("text_bytes"),
+        "url",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.md5(F.encode(F.col("text"), "UTF-8")), F.lit(""))
+        .alias("text_md5"),
+        F.coalesce(F.octet_length("text"), F.lit(-1)).alias("text_bytes"),
     )
 
 
@@ -716,9 +724,80 @@ def _norm_sql(a: str) -> str:
     )
 
 
+_EXPECTED_EXTRACTION_CACHE: dict[str, list] = {}
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+
+
+def _expected_extraction_values(sf_dir: str | None = None) -> list:
+    """Expected (url, title, text_md5, text_bytes) rows for the
+    ``extract_fulltext`` oracle, computed driver-side by running the
+    pure-Python extraction core over the byte-identical page template
+    (sources/pages.py:synthesize_page_py — parity-pinned to the JVM
+    expressions).  The driver's correctness gate runs at sf0.01; override
+    via $SPARK_GRAFT_ORACLE_SF_DIR for local replicas at other scales.
+    ~1-2s for 500 docs, cached per sf_dir."""
+    if sf_dir is None:
+        sf_dir = os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    if sf_dir in _EXPECTED_EXTRACTION_CACHE:
+        return _EXPECTED_EXTRACTION_CACHE[sf_dir]
+    import hashlib
+
+    import duckdb
+
+    from article_extractor_spark.core.config import ConfigCollection
+    from article_extractor_spark.core.fulltext import FullTextParser
+    from article_extractor_spark.core.urlutil import Url, UrlError
+    from article_extractor_spark.sources.pages import synthesize_page_py
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, source FROM read_parquet('{path}')"
+    ).fetchall()
+    parser = FullTextParser(ConfigCollection())
+    rows = []
+    for doc_id, text, source in docs:
+        url, html = synthesize_page_py(doc_id, text, source)
+        try:
+            u = Url.parse(url)
+        except UrlError:
+            u = None
+        title, md5, nbytes = "", "", -1
+        try:
+            art = parser.parse_offline([html], url=u)
+        except Exception:
+            art = None  # hard-failed doc: sentinel row, like the Spark UDF
+        if art is not None:
+            title = art.title or ""
+            if art.html is not None:
+                b = art.html.encode("utf-8")
+                md5 = hashlib.md5(b).hexdigest()
+                nbytes = len(b)
+        rows.append((url, title, md5, nbytes))
+    _EXPECTED_EXTRACTION_CACHE[sf_dir] = rows
+    return rows
+
+
 def oracle_sql() -> dict[str, str]:
     h_url = _H.format(x="url")
     sql = {}
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _exp_vals = ",\n".join(
+        f"({_q(url)}, {_q(title)}, {_q(md5)}, {nb})"
+        for url, title, md5, nb in _expected_extraction_values()
+    )
+    # expected rows computed by the pure-Python core (see
+    # _expected_extraction_values); joined against the pages CTE so a url-set
+    # or row-count drift in the synthesized table fails loudly
+    sql["extract_fulltext"] = f"""
+WITH {_PAGES_CTE.strip()},
+expected(url, title, text_md5, text_bytes) AS (VALUES
+{_exp_vals})
+SELECT p.url, e.title, e.text_md5, CAST(e.text_bytes AS INTEGER) AS text_bytes
+FROM pages p JOIN expected e ON e.url = p.url
+"""
 
     sql["clean_fragments"] = """
 SELECT 'https://frag.example.com/' || CAST(doc_id AS VARCHAR) AS url,

@@ -83,6 +83,43 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_page_py(doc_id: int, text: str | None, source: str | None) -> tuple[str, str]:
+    """Pure-Python twin of :func:`synthesize_pages`' JVM template — returns
+    ``(url, html)`` byte-identical to the Spark expressions (pinned by
+    ``test_pages_python_twin``).  Lets driver-side code (the
+    ``extract_fulltext`` oracle builder) reproduce any page without a
+    SparkSession, so the DuckDB oracle can embed expected extraction
+    output computed by the pure-Python core."""
+    body = text if text is not None else ""
+    rep = int(doc_id) % 4 + 1
+    did = str(int(doc_id))
+    paragraphs = (
+        "<h2>Section one</h2>\n"
+        + ("<p>" + body + ", extended run.</p>\n") * rep
+        + "<p>Closing remarks, with commas, and more text to score.</p>\n"
+    )
+    html = (
+        "<!DOCTYPE html><html><head><title>Doc " + did
+        + " - Synthetic News</title>"
+        + '<meta name="og:image" content="https://img.example.com/photo-'
+        + did + '.jpg"/></head><body>'
+        + '<nav class="menu sidebar"><a href="/home">home</a>'
+        + '<a href="/about">about</a></nav>'
+        + '<header class="banner header">Synthetic News Network</header>'
+        + '<div id="content" class="article main">'
+        + "<h1>Headline " + did + "</h1>\n"
+        + paragraphs
+        + '<p>Related reading: <a href="story-' + did
+        + '.html">a relative link</a> and <img src="img/' + did
+        + '.png"/> inline.</p></div>'
+        + '<div class="comments disqus"><p>first!</p><p>nice post</p></div>'
+        + '<footer class="footer">(c) synthetic</footer>'
+        + "</body></html>"
+    )
+    url = "https://" + (source or "src0") + ".example.com/articles/" + did
+    return url, html
+
+
 def fixture_pages(spark: SparkSession, fixture_dir: str | None = None) -> DataFrame:
     """One row per readability golden fixture (url = the reference's fake
     base URL + fixture name so rows stay distinct)."""

@@ -49,6 +49,9 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # the extract_fulltext oracle embeds expected values computed from the
+    # documents table — point it at the same sf_dir the views use
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     spark = (
         SparkSession.builder.master("local[8]")

@@ -4,7 +4,7 @@ and the rows-only set is exactly the documented exception."""
 
 import __spark_entry__ as entry
 
-EXPECTED_ROWS_ONLY = {"extract_fulltext"}   # full readability output: non-SQL
+EXPECTED_ROWS_ONLY = set()   # every query is value-oracled (round 3)
 
 
 def test_oracle_keys_match_queries():

@@ -212,3 +212,35 @@ def test_plan_pushes_projection(spark, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "html" in read_schema and "url" in read_schema
     assert "warc_ts" not in read_schema and "lang" not in read_schema
+
+
+def test_pages_python_twin_byte_identical(spark):
+    """synthesize_page_py must reproduce the JVM page template EXACTLY —
+    the extract_fulltext oracle's expected checksums depend on it."""
+    from article_extractor_spark.sources.pages import (synthesize_page_py,
+                                                       synthesize_pages)
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["url"]: bytes(r["html"]).decode("utf-8")
+           for r in synthesize_pages(spark, sf).select("url", "html").collect()}
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "text", "source").collect()
+    assert len(docs) == len(got)
+    for d in docs:
+        url, html = synthesize_page_py(d["doc_id"], d["text"], d["source"])
+        assert url in got, url
+        assert got[url] == html, url
+
+
+def test_extract_fulltext_oracle_values_match_spark(spark):
+    """The driver's new value gate for extract_fulltext, replicated: the
+    pure-Python expected rows equal the Spark pipeline's output."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    expected = {r[0]: r for r in entry._expected_extraction_values(sf)}
+    out = entry.q_extract_fulltext(spark, sf).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        url, title, md5, nb = expected[r["url"]]
+        assert (r["title"], r["text_md5"], r["text_bytes"]) == (title, md5, nb), url
