@@ -1083,7 +1083,7 @@ WHERE round(s.n_shared * 1.0 / least(za.n_chunks, zb.n_chunks), 6) >= 0.3
     sql["kmeans_iter"] = """
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1139,7 +1139,7 @@ FROM c
     sql["kmeans_full"] = f"""
 WITH cents0 AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
 ),
 a0 AS (
   SELECT vec_id, centroid_id FROM (
@@ -1172,8 +1172,10 @@ SELECT vec_id, centroid_id, centroid_sim FROM ranked WHERE rk = 1
 
     sql["pq_encode"] = """
 WITH cb AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
 ),
 d AS (
   SELECT e.vec_id, s.s AS subspace, c.code,
@@ -1259,8 +1261,10 @@ WITH sums AS (
 ),
 buckets AS (SELECT vec_id, {bucket_expr} AS bucket FROM sums),
 q AS (
-  SELECT e.vec_id AS q_id, e.embedding, b.bucket
-  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+  -- multi-probe: the query's own bucket plus its 6 hamming-1 neighbors
+  SELECT e.vec_id AS q_id, e.embedding, xor(b.bucket, pr.m) AS bucket
+  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id,
+       (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) pr
   WHERE e.vec_id < 3
 ),
 base AS (
@@ -1285,7 +1289,7 @@ SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
     sql["ann_ivf"] = """
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
 ),
 assign AS (
   SELECT vec_id, centroid_id FROM (

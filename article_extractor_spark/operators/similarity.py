@@ -104,13 +104,22 @@ def hyperplane_bucket(emb: DataFrame, num_planes: int = 8,
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def _seed_order(id_col: str):
+    """Deterministic pseudo-random seed order: md5 of the id string.  The
+    first-k-ids seeding it replaces is biased on a sorted-by-crawl corpus
+    (all seeds from one shard); hash order is a uniform sample yet still
+    reproducible by the DuckDB oracle (ORDER BY md5(CAST(id AS VARCHAR)))."""
+    return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+
+
 def ivf_centroids(emb: DataFrame, num_centroids: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic seed centroids (the first ``num_centroids`` vectors by
-    id) with precomputed norms.  At scale the seed set would come from a
+    """Deterministic seed centroids — ``num_centroids`` vectors picked in
+    md5(id) order (a reproducible pseudo-random sample, not the first ids)
+    with precomputed norms.  At scale the seed set would come from a
     k-means pass; the inverted-list structure and probe logic are the
     same."""
-    return emb.orderBy(id_col).limit(num_centroids).select(
+    return emb.orderBy(*_seed_order(id_col)).limit(num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"),
         _norm(vec_col).alias("cn"))
 
@@ -188,14 +197,16 @@ def pq_encode(emb: DataFrame, num_subspaces: int = 8, codebook_size: int = 8,
 
     Scale shape: codebooks are tiny driver-side literals baked into ONE
     per-row projection (zero shuffle, zero join); ties break toward the
-    lower code id via strict < comparison in declaration order."""
+    lower code id via strict < comparison in declaration order.  Codebook
+    seeds are picked in md5(id) order (see :func:`_seed_order`) so a
+    sorted-by-crawl corpus doesn't bias the codebook to one shard."""
     if dims is None:
         row = emb.select(F.size(F.col(vec_col)).alias("_d")).first()
         dims = int(row["_d"]) if row is not None and row["_d"] is not None else num_subspaces
     sub_len = dims // num_subspaces
     seeds = [
         [float(x) for x in r[vec_col]]
-        for r in emb.orderBy(id_col).limit(codebook_size).collect()
+        for r in emb.orderBy(*_seed_order(id_col)).limit(codebook_size).collect()
     ]
 
     def dist_expr(s: int, code: int):
@@ -295,13 +306,28 @@ def kmeans(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              num_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "q_id",
-             qvec_col: str = "q_vec") -> DataFrame:
-    """ANN top-k: score only vectors in the query's hyperplane bucket."""
+             qvec_col: str = "q_vec", multiprobe: bool = True) -> DataFrame:
+    """ANN top-k: score only vectors in the query's hyperplane bucket —
+    plus, with ``multiprobe`` (default), its ``num_planes`` hamming-1
+    neighbor buckets (one sign bit flipped).  A near-boundary query whose
+    true neighbors landed one sign flip away is recovered by the probes.
+
+    Scale shape: the explode is QUERY-side only (fan-out = (1+planes)×|Q|,
+    broadcast-sized); each corpus vector still lives in exactly one bucket,
+    so a (query, vector) pair matches at most one probe — no dedup needed
+    and the corpus-side join stays a single bucket equi-join."""
     buckets = hyperplane_bucket(emb, num_planes, id_col, vec_col)
     qbuckets = hyperplane_bucket(
         queries.select(F.col(qid_col).alias(id_col), F.col(qvec_col).alias(vec_col)),
         num_planes, id_col, vec_col,
     ).withColumnRenamed(id_col, qid_col)
+    if multiprobe:
+        probe_set = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        qbuckets = qbuckets.select(
+            qid_col, F.explode(probe_set).alias("bucket"))
 
     base = emb.join(buckets, id_col).select(
         F.col(id_col), F.col("bucket"), F.col(vec_col).alias("v"),

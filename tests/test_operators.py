@@ -363,19 +363,21 @@ def test_asof_join_fuzz_vs_reference(spark):
 
 
 def test_kmeans_iterate_exact_means(spark):
-    """Member means per dimension are exact (quantized integer sums)."""
+    """Member means per dimension are exact (quantized integer sums).
+    Seeds are the first 2 ids in md5(id) order — for ids {0..3} that is
+    vec 1 ([0,1]) and vec 2 ([1,0.2]); members split {1,3} / {0,2}."""
     from article_extractor_spark.operators.similarity import kmeans_iterate
 
     emb = spark.createDataFrame(
-        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),        # seed centroids
-         (2, [1.0, 0.2]), (3, [0.2, 1.0])],       # one member each
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [1.0, 0.2]), (3, [0.2, 1.0])],
         "vec_id long, embedding array<double>")
     rows = {(r["centroid_id"], r["dim"]): r
             for r in kmeans_iterate(emb, num_centroids=2).collect()}
-    assert rows[(0, 0)]["mean_val"] == 1.0 and rows[(0, 0)]["n_members"] == 2
-    assert rows[(0, 1)]["mean_val"] == 0.1
-    assert rows[(1, 0)]["mean_val"] == 0.1
+    assert rows[(1, 0)]["mean_val"] == 0.1 and rows[(1, 0)]["n_members"] == 2
     assert rows[(1, 1)]["mean_val"] == 1.0
+    assert rows[(2, 0)]["mean_val"] == 1.0 and rows[(2, 0)]["n_members"] == 2
+    assert rows[(2, 1)]["mean_val"] == 0.1
 
 
 def test_dedup_clusters_full_covers_all(spark, docs):
@@ -602,19 +604,30 @@ def test_kmeans_converges_on_separable_data(spark):
 
 
 def test_pq_encode(spark):
-    """Seed vectors encode to their own codebook id in every subspace
-    (distance 0 to themselves); a vector equal to seed j's subvector in
-    one subspace gets code j there."""
+    """Every vector's codes match a brute-force Python reference that
+    replicates the md5(id) seed order, L2 subspace distances, and
+    lowest-code tie-breaking."""
+    import hashlib
+
     from article_extractor_spark.operators.similarity import pq_encode
 
-    vecs = [(i, [float(i)] * 8) for i in range(4)]          # seeds 0..3
+    vecs = [(i, [float(i)] * 8) for i in range(4)]
     vecs.append((10, [0.0, 0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 3.0]))
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     out = {r["vec_id"]: r["codes"] for r in
            pq_encode(emb, num_subspaces=2, codebook_size=4).collect()}
-    for i in range(4):
-        assert out[i] == [i, i]
-    assert out[10] == [0, 3]
+
+    seeds = [v for _, v in sorted(
+        vecs, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )[:4]]
+    for vid, v in vecs:
+        want = []
+        for s in range(2):
+            sub = v[s * 4:(s + 1) * 4]
+            dists = [sum((x - c) ** 2 for x, c in
+                         zip(sub, seed[s * 4:(s + 1) * 4])) for seed in seeds]
+            want.append(dists.index(min(dists)))   # lowest code wins ties
+        assert out[vid] == want, (vid, out[vid], want)
 
 
 def test_ivf_topk(spark):
@@ -630,3 +643,31 @@ def test_ivf_topk(spark):
     brute_ids = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
     # probing 2/8 lists should still recover some of the true top-10
     assert any(r["vec_id"] in brute_ids for r in ivf)
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe must never lose candidates vs single-bucket
+    probing, and on the seeded corpus it must strictly improve recall@10
+    for at least one query (near-boundary vectors live one sign flip away)."""
+    from article_extractor_spark.operators.similarity import (brute_force_topk,
+                                                              lsh_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        brute.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        per_q = {qid: len(got.get(qid, set()) & ids) / len(ids)
+                 for qid, ids in brute.items()}
+        return per_q
+
+    single = recall(lsh_topk(emb, q, k=10, num_planes=6, multiprobe=False))
+    multi = recall(lsh_topk(emb, q, k=10, num_planes=6, multiprobe=True))
+    assert all(multi[qid] >= single[qid] for qid in brute)
+    assert sum(multi.values()) > sum(single.values())
