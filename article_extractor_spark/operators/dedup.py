@@ -98,12 +98,14 @@ def minhash_band_hashes(shingles: DataFrame, num_bands: int = 16,
             for j in range(n_md5)
         ],
     )
+    # min over the 8-char hex slice equals numeric min (fixed-width
+    # lowercase hex is lexicographically ordered), so the costly string
+    # base-conversion runs AFTER aggregation: k x |docs| convs instead of
+    # k x |doc,shingle| (measured ~2x on the signature stage at sf0.1)
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10
-            ).cast("bigint")
-        ).alias(f"mh{i}")
+        F.conv(
+            F.min(F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8)), 16, 10
+        ).cast("bigint").alias(f"mh{i}")
         for i in range(k)
     ]
     sigs = pre.groupBy(id_col).agg(*aggs)
@@ -209,6 +211,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col(f"a.{id_col}").alias("a_id"),
                 F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
+    )
+    # size-ratio prefilter (LOSSLESS for the threshold): |∩| <= min(na,nb)
+    # and |∪| >= max(na,nb), so jaccard >= t forces min/max >= t — any
+    # candidate pair failing it cannot reach the threshold and is dropped
+    # BEFORE its postings enter the shingle-keyed intersection join.  The
+    # surviving pairs carry (na, nb), saving the two size re-joins later.
+    za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_shingles", "na")
+    zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_shingles", "nb")
+    cands = (
+        cands.join(za, "a_id").join(zb, "b_id")
+        .where(F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold))
         .cache()
     )
 
@@ -239,12 +252,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")           # map-side combine before the
         .agg(F.count(F.lit(1)).alias("n_shared"))  # candidate filter
-        .join(cands, ["a_id", "b_id"], "left_semi")
+        .join(cands, ["a_id", "b_id"])     # inner: filter + attach (na, nb)
     )
-    za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_shingles", "na")
-    zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_shingles", "nb")
     return (
-        shared.join(za, "a_id").join(zb, "b_id")
+        shared
         .withColumn(
             "jaccard",
             F.round(F.col("n_shared") /
