@@ -160,9 +160,10 @@ def check_for_thumbnail(ctx: Context) -> str | None:
 
 
 def fix_lazy_images(ctx: Context, doc: Document) -> None:
-    img_nodes = util.evaluate_xpath(ctx, "//img", False)
-    img_nodes.extend(util.evaluate_xpath(ctx, "//picture", False))
-    img_nodes.extend(util.evaluate_xpath(ctx, "//figure", False))
+    # `mod.rs` evaluates //img, //picture, //figure and concatenates the
+    # three node-sets BEFORE any mutation — one fused DFS is equivalent
+    lists = util.collect_elements_by_tags(doc, ("img", "picture", "figure"))
+    img_nodes = lists["img"] + lists["picture"] + lists["figure"]
 
     for node in img_nodes:
         tag_name = node.get_name().upper()
@@ -239,6 +240,16 @@ def remove_attribute(ctx: Context, tag: str | None, attribute: str) -> None:
 def repair_urls(ctx: Context, xpath: str, attribute: str, article_url: Url,
                 document: Document) -> None:
     nodes = util.evaluate_xpath(ctx, xpath, False)
+    _repair_url_nodes(nodes, attribute, article_url, document)
+
+
+def _repair_url_nodes(nodes: list, attribute: str, article_url: Url,
+                      document: Document) -> int:
+    """repair_urls' per-node body over a pre-collected node list; returns
+    the number of STRUCTURAL replacements (javascript: nodes swapped for
+    text/span) so a fused caller knows when its collected lists went
+    stale."""
+    replaced = 0
     for node in nodes:
         url = node.get_attribute(attribute)
         if url is None:
@@ -301,34 +312,55 @@ def repair_urls(ctx: Context, xpath: str, attribute: str, article_url: Url,
                     for child in child_nodes:
                         new_node.add_child(child)
                 parent.replace_child_node(new_node, node)
+                replaced += 1
         else:
             try:
                 parsed_url = Url.parse(trimmed_url)
                 node.set_attribute(attribute, parsed_url.as_str())
             except UrlError:
                 node.set_attribute(attribute, trimmed_url)
+    return replaced
+
+
+_FIX_URL_TAGS = ("img", "a", "object", "iframe")
+_FIX_URL_PASSES = (("img", "src"), ("a", "src"), ("a", "href"),
+                   ("object", "data"), ("iframe", "src"))
 
 
 def fix_urls(ctx: Context, url: Url, document: Document) -> None:
-    repair_urls(ctx, "//img", "src", url, document)
-    repair_urls(ctx, "//a", "src", url, document)
-    repair_urls(ctx, "//a", "href", url, document)
-    repair_urls(ctx, "//object", "data", url, document)
-    repair_urls(ctx, "//iframe", "src", url, document)
+    """`mod.rs` runs five sequential //tag repairs; the five full-tree
+    XPath walks fuse into ONE collection DFS (NOTES.md hot-list #2).
+    Attribute rewrites never change the //tag node-sets, so the collected
+    lists stay exact — except the rare javascript: structural replacement,
+    after which the remaining passes re-collect to see precisely what a
+    fresh eval would."""
+    lists = util.collect_elements_by_tags(document, _FIX_URL_TAGS)
+    for i, (tag, attr) in enumerate(_FIX_URL_PASSES):
+        replaced = _repair_url_nodes(lists[tag], attr, url, document)
+        if replaced and i + 1 < len(_FIX_URL_PASSES):
+            lists = util.collect_elements_by_tags(document, _FIX_URL_TAGS)
 
 
 def prep_content(ctx: Context, config: ConfigEntry | None,
                  global_config: ConfigEntry, url: Url, document: Document,
                  title: str | None) -> None:
     """`mod.rs:600-733` — ordered generic DOM cleanup."""
-    for h1_node in util.evaluate_xpath(ctx, "//h1", False):
+    # //h1, //h2, //font fused into one DFS.  The original //h2 eval runs
+    # AFTER the h1->h2 renames, so its node-set is exactly the doc-order
+    # union of original h2s and renamed h1s — which is precisely the
+    # collected h1+h2 list (one ordered walk, tag checked at collect time).
+    _hdr = util.collect_elements_ordered(document, ("h1", "h2", "font"))
+    _h1s = [n for n in _hdr if n.name == "h1"]
+    _h2s_after_rename = [n for n in _hdr if n.name != "font"]  # doc-order h1∪h2
+    _fonts = [n for n in _hdr if n.name == "font"]
+    for h1_node in _h1s:
         h1_node.set_name("h2")
 
-    for h2_node in util.evaluate_xpath(ctx, "//h2", False):
+    for h2_node in _h2s_after_rename:
         if util.header_duplicates_title(h2_node, title):
             h2_node.unlink()
 
-    for font_node in util.evaluate_xpath(ctx, "//font", False):
+    for font_node in _fonts:
         font_node.set_name("span")
 
     util.mark_data_tables(ctx)
@@ -356,9 +388,17 @@ def prep_content(ctx: Context, config: ConfigEntry | None,
 
     fix_lazy_images(ctx, document)
     fix_iframe_size(ctx, "youtube.com")
-    remove_attribute(ctx, "a", "onclick")
-    remove_attribute(ctx, "img", "decoding")
-    remove_attribute(ctx, "img", "loading")
+    # three //tag[@attr] scans fused into one DFS: attribute removal never
+    # changes the element sets, so filtering the collected lists is
+    # result-identical to the three sequential evals
+    _attr_lists = util.collect_elements_by_tags(document, ("a", "img"))
+    for _n in _attr_lists["a"]:
+        if _n.has_attribute("onclick"):
+            _n.remove_property("onclick")
+    for _attr in ("decoding", "loading"):
+        for _n in _attr_lists["img"]:
+            if _n.has_attribute(_attr):
+                _n.remove_property(_attr)
 
     util.strip_node(
         ctx,

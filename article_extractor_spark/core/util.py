@@ -84,6 +84,58 @@ def strip_node(ctx: Context, xpath: str) -> None:
         node.unlink()
 
 
+def collect_elements_by_tags(document, tags) -> dict:
+    """ONE document-order DFS returning ``{tag: [elements]}`` for several
+    absolute ``//tag`` scans over an unmutated tree.  Each
+    ``evaluate_xpath(ctx, '//tag')`` costs a full-tree walk; consecutive
+    scans at the same tree state fuse into this single walk (NOTES.md
+    hot-list: fix_urls' five evals, fix_lazy_images' three).  Semantics
+    match the XPath fast-scan exactly: case-sensitive name test,
+    element-only traversal, root element included."""
+    out = {t: [] for t in tags}
+    root = document.get_root_element()
+    if root is None or root.type != ELEMENT_NODE:
+        return out
+    stack = [root]
+    pop = stack.pop
+    extend = stack.extend
+    get = out.get
+    while stack:
+        n = pop()
+        lst = get(n.name)
+        if lst is not None:
+            lst.append(n)
+        ch = n.children
+        if ch:
+            extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
+    return out
+
+
+def collect_elements_ordered(document, tags) -> list:
+    """Like :func:`collect_elements_by_tags` but one combined DOC-ORDER
+    list of every element whose name is in ``tags`` — for fused passes
+    that need the interleaved order across tags (e.g. the //h2 eval that
+    runs after h1->h2 renames sees renamed h1s and original h2s merged in
+    document order)."""
+    want = frozenset(tags)
+    out: list = []
+    root = document.get_root_element()
+    if root is None or root.type != ELEMENT_NODE:
+        return out
+    stack = [root]
+    pop = stack.pop
+    extend = stack.extend
+    append = out.append
+    while stack:
+        n = pop()
+        if n.name in want:
+            append(n)
+        ch = n.children
+        if ch:
+            extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
+    return out
+
+
 def strip_collected(node_set: list) -> None:
     """strip_node semantics over a pre-collected node list (doc order):
     video-embed exemption + skip nodes whose ancestor is in the same set."""

@@ -37,13 +37,23 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def decode_image_real(content: bytes):
-    """Real decoder entry point — requires an image codec (PIL/opencv),
-    which this environment does not ship."""
-    raise NotImplementedError(
-        "real image decoding needs PIL/opencv; use the deterministic stub "
-        "(decode_media) for plumbing tests"
-    )
+def decode_image_real(content: bytes) -> tuple[int, int, int]:
+    """Real decoder entry point: (width, height, n_frames) via PIL when a
+    codec is installed; raises ``NotImplementedError`` in codec-less
+    environments (this container ships no PIL/opencv).  Plugs into
+    :func:`decode_media` via its ``decoder=`` seam — the wiring is proven
+    by ``test_real_codec_seam`` (skipped where PIL is absent)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding needs PIL/opencv; use the deterministic "
+            "stub (decode_media) for plumbing tests"
+        ) from exc
+    with Image.open(io.BytesIO(content)) as im:
+        return int(im.width), int(im.height), int(getattr(im, "n_frames", 1))
 
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +73,19 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _stub_decode(data: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic pseudo-dimensions from the payload md5 (the stubbed
+    "decode"): reproducible and oracle-checkable without a codec."""
+    h = int(hashlib.md5(data).hexdigest()[:15], 16)
+    return (
+        int(h % 1920) + 1,
+        int((h >> 16) % 1080) + 1,
+        int((h >> 32) % 240) + 1 if kind != "image" else 1,
+    )
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame],
+                    decoder=None) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {k: [] for k in
                 ("media_id", "kind", "n_bytes", "width", "height",
@@ -71,26 +93,35 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
             data = bytes(content) if content is not None else b""
             digest = hashlib.md5(data).hexdigest()
-            h = int(digest[:15], 16)
+            if decoder is None:
+                w, h, nf = _stub_decode(data, kind)
+            else:
+                w, h, nf = decoder(data, kind)
             rows["media_id"].append(mid)
             rows["kind"].append(kind)
             rows["n_bytes"].append(len(data))
-            # deterministic pseudo-dimensions (the stubbed "decode")
-            rows["width"].append(int(h % 1920) + 1)
-            rows["height"].append(int((h >> 16) % 1080) + 1)
-            rows["n_frames"].append(int((h >> 32) % 240) + 1 if kind != "image" else 1)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_frames"].append(nf)
             rows["content_md5"].append(digest)
         yield pd.DataFrame(rows)
 
 
-def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def decode_media(media: DataFrame, num_partitions: int | None = None,
+                 decoder=None) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.  The
     batch shape (binary column in, struct row out) is exactly what a real
-    codec UDF uses; only the per-item math is stubbed."""
+    codec UDF uses; only the per-item math is stubbed by default.  Pass
+    ``decoder=(data, kind) -> (width, height, n_frames)`` to plug a real
+    codec (e.g. ``decode_image_real``) into the same Arrow plumbing."""
     projected = media.select("media_id", "kind", "content")
     if num_partitions:
         projected = projected.repartition(num_partitions, F.xxhash64("media_id"))
-    return projected.mapInPandas(_decode_batches, DECODED_SCHEMA)
+
+    def fn(batches):
+        return _decode_batches(batches, decoder)
+
+    return projected.mapInPandas(fn, DECODED_SCHEMA)
 
 
 def media_stats(decoded: DataFrame) -> DataFrame:

@@ -45,12 +45,15 @@ def start_extraction_stream(
     *,
     available_now: bool = True,
     config_broadcast=None,
+    max_files_per_trigger: int = 8,
 ):
     """readStream(pages parquet) -> extract -> writeStream(parquet).
 
     ``available_now=True`` drains the current backlog and stops (the batch-
     equivalent trigger); otherwise runs continuously per micro-batch."""
-    arts = extract_stream(read_page_stream(spark, input_dir), config_broadcast)
+    arts = extract_stream(
+        read_page_stream(spark, input_dir, max_files_per_trigger),
+        config_broadcast)
     writer = (
         arts.writeStream.format("parquet")
         .option("path", os.path.join(output_dir, "articles"))

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("aes-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
@@ -33,8 +33,13 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("AES_DRIVER_MEM", "8g"))
-        .getOrCreate()
     )
+    # AES_SPARK_CONF="k=v;k=v": ad-hoc conf overrides for sweep experiments
+    for kv in os.environ.get("AES_SPARK_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
+    return b.getOrCreate()
 
 
 def replicated_pages(spark, sf_dir: str, mult: int, num_partitions: int = 128):

@@ -22,3 +22,30 @@ def test_oracle_sql_is_nonempty_and_unique():
     # no copy-paste duplicate oracle bodies
     bodies = list(s.strip() for s in sql.values())
     assert len(bodies) == len(set(bodies))
+
+
+def test_oracle_float_policy():
+    """Mechanical enforcement of the NOTES.md oracle type/float policy:
+    no avg() anywhere, and every sum() must be either CAST-wrapped
+    (CAST(sum(...) AS ...)) or an exact-quantized/double-cast operand
+    (sum(CAST(...))). DuckDB's HUGEINT (bare integer sum) turns into
+    float64 through the driver's pandas path and hash-mismatches Spark's
+    bigint — the round-1 failure class this pins shut."""
+    import re
+
+    # ±1 sums used only inside sign comparisons (never emitted as output
+    # columns) — the single audited exception
+    BARE_SUM_ALLOWED = {"dedup_simhash"}
+
+    sql = entry.oracle_sql()
+    word = r"(?i)(?<![a-z0-9_])"
+    for name, body in sql.items():
+        assert not re.search(word + r"avg\s*\(", body), f"{name}: avg() banned"
+        for m in re.finditer(word + r"sum\s*\(", body):
+            pre = re.sub(r"\s+", "", body[max(0, m.start() - 8):m.start()]).upper()
+            operand = body[m.end():m.end() + 12].lstrip().upper()
+            if pre.endswith("CAST(") or operand.startswith("CAST("):
+                continue
+            assert name in BARE_SUM_ALLOWED, (
+                f"{name}: bare sum() at char {m.start()} — wrap in CAST or "
+                f"quantize (NOTES.md oracle policy)")

@@ -671,3 +671,41 @@ def test_lsh_multiprobe_improves_recall(spark):
     multi = recall(lsh_topk(emb, q, k=10, num_planes=6, multiprobe=True))
     assert all(multi[qid] >= single[qid] for qid in brute)
     assert sum(multi.values()) > sum(single.values())
+
+
+def test_real_codec_seam(spark):
+    """The day a codec exists, decode_image_real must slot into the SAME
+    Arrow plumbing the stub uses (VERDICT #7 seam proof).  Skipped in this
+    container (no PIL); the stub itself stays untouched."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from article_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image_real, decode_media)
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png")], MEDIA_SCHEMA)
+
+    def codec(data, kind):
+        return decode_image_real(data)
+
+    row = decode_media(media, decoder=codec).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (37, 21, 1)
+    assert row["n_bytes"] == len(png)
+
+
+def test_decode_image_real_raises_without_codec():
+    """In codec-less environments the real decoder must raise
+    NotImplementedError (declared stub contract), not silently fake."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed here; the raise path is for codec-less envs")
+    except ImportError:
+        pass
+    from article_extractor_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG fake")
