@@ -241,6 +241,36 @@ def q_script_detect(spark, sf_dir):
     return script_detect(_docs(spark, sf_dir))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters over a line-structured view of the docs
+    (text repeated twice + a 40-char prefix line, so duplicate-line and
+    top-bigram fractions are exercised deterministically)."""
+    from article_extractor_spark.operators.textstats import gopher_repetition
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.col("text"),
+                    F.substring(F.col("text"), 1, 40)).alias("text"))
+    return gopher_repetition(docs)
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleanliness filters over a line-structured view: one terminal-
+    punctuated line (text + '.'), one unpunctuated short line, plus a
+    brace line for every 7th doc (code-page signal)."""
+    from article_extractor_spark.operators.textstats import c4_filters
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(".")),
+            F.lit("short line"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("if (x) { return; }")),
+        ).alias("text"))
+    return c4_filters(docs)
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub: emails/IPv4/phone-like runs redacted with typed
     placeholders over docs salted with synthetic PII."""
@@ -573,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
         "script_detect": q_script_detect,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_filters": q_c4_filters,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1033,6 +1065,93 @@ FROM kept GROUP BY doc_id
     _best = "greatest(" + ", ".join(f"ratio_{s}" for s in SCRIPT_RANGES) + ")"
     _pred = "CASE " + " ".join(
         f"WHEN ratio_{s} = {_best} THEN '{s}'" for s in SCRIPT_RANGES) + " END"
+    sql["gopher_repetition"] = """
+WITH docs AS (
+  SELECT doc_id, concat_ws(chr(10), text, text, substr(text, 1, 40)) AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, trim(u.l) AS line
+  FROM docs, LATERAL unnest(string_split(t, chr(10))) AS u(l)
+  WHERE trim(u.l) <> ''
+),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+         CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT)
+           AS dup_chars
+  FROM lg GROUP BY 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
+  FROM docs
+),
+bg AS (
+  SELECT doc_id, tk[i.i] || ' ' || tk[i.i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i) i
+),
+bgg AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM bgg GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0) AS n_lines,
+       round(1.0 - coalesce(ls.n_distinct * 1.0 / ls.n_lines, 0.0), 6)
+         AS frac_dup_lines,
+       round(coalesce(ls.dup_chars * 1.0 / greatest(ls.line_chars, 1), 0.0), 6)
+         AS frac_chars_dup_lines,
+       coalesce(bs.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(bs.top_c * 1.0 / bs.n_bigrams, 0.0), 6)
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN bs ON bs.doc_id = d.doc_id
+"""
+
+    sql["c4_filters"] = """
+WITH docs AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   coalesce(text, '') || '.',
+                   'short line',
+                   CASE WHEN doc_id % 7 = 0 THEN 'if (x) { return; }' END) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), w -> w <> '')
+           AS words,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{') AS has_brace
+  FROM docs
+),
+calc AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INTEGER) AS n_lines,
+         CAST(len(list_filter(lines, l ->
+             regexp_matches(l, '[.!?\"]$')
+             AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                 w -> w <> '')) >= 3)) AS INTEGER)
+           AS n_kept_lines,
+         CAST(len(words) AS INTEGER) AS n_words,
+         CAST(has_lorem AS INTEGER) AS has_lorem,
+         CAST(has_brace AS INTEGER) AS has_brace
+  FROM feat
+)
+SELECT doc_id, n_lines, n_kept_lines, n_words, has_lorem, has_brace,
+       CAST(n_kept_lines >= 1 AND n_words >= 10
+            AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS keep
+FROM calc
+"""
+
     sql["script_detect"] = f"""
 WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 scored AS (SELECT doc_id, {_rat} FROM docs)

@@ -220,3 +220,112 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
         .where(F.col("_h60") < (rate * F.lit(float(1 << 60))))
         .drop("_h60")
     )
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-line fractions and the most-frequent-word-bigram share —
+    the standard "remove self-repetitive pages" signals of a training-data
+    pipeline.
+
+    Definitions (documented, mirrored exactly in the oracle):
+      frac_dup_lines       = 1 - n_distinct_lines / n_lines
+      frac_chars_dup_lines = chars in lines occurring > 1x / total line chars
+      top_bigram_frac      = count of most frequent word 2-gram / n_bigrams
+    Lines are trimmed and non-empty; bigrams come from lowercase
+    whitespace tokens.
+
+    Scale shape: per-line and per-bigram counts go through explode +
+    groupBy keyed on (doc, value) then (doc) — map-side combine, never an
+    in-row O(len^2) self-scan (a 10k-line page would cost 10^8 compares
+    per row) and never a corpus-wide key (no giant hot keys).  Docs with
+    no lines/bigrams survive via left joins + coalesce."""
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    lines = base.select(
+        id_col,
+        F.explode(F.expr("filter(transform(split(_t, '\\n'), l -> trim(l)), "
+                         "l -> l <> '')")).alias("line"),
+    )
+    line_groups = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    line_stats = line_groups.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_lines"),
+        F.sum(F.col("c") * F.length("line")).cast("bigint").alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))
+              .otherwise(0)).cast("bigint").alias("dup_line_chars"),
+    )
+    # CASE guard: sequence(1, 0) is DESCENDING [1, 0] (the chunk_containment
+    # footgun) — docs with < 2 tokens must yield NO bigrams, not NULL ones
+    toks_expr = "filter(split(lower(_t), '\\\\s+'), t -> t <> '')"
+    bigrams = base.select(
+        id_col,
+        F.explode(F.expr(
+            f"CASE WHEN size({toks_expr}) >= 2 THEN "
+            f"transform(sequence(1, size({toks_expr}) - 1), "
+            f"i -> element_at({toks_expr}, i) || ' ' || "
+            f"element_at({toks_expr}, i + 1)) ELSE array() END")).alias("bigram"),
+    )
+    bigram_groups = bigrams.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("c"))
+    bigram_stats = bigram_groups.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+    )
+    return (
+        base.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(F.lit(1.0) - F.coalesce(F.col("n_distinct_lines")
+                    / F.col("n_lines"), F.lit(0.0)), 6).alias("frac_dup_lines"),
+            F.round(F.coalesce(F.col("dup_line_chars")
+                    / F.greatest(F.col("line_chars"), F.lit(1)), F.lit(0.0)), 6)
+            .alias("frac_chars_dup_lines"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce(F.col("top_bigram_count") / F.col("n_bigrams"),
+                    F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+def c4_filters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_words_per_line: int = 3, min_kept_lines: int = 1,
+               min_doc_words: int = 10) -> DataFrame:
+    """C4-style cleanliness filters (Raffel et al. 2020 §2.2) as one
+    zero-shuffle projection: per-doc line keep counts and the document
+    keep decision.
+
+    A line is KEPT when it ends in terminal punctuation (. ! ? ") and has
+    at least ``min_words_per_line`` words.  A document is kept when it has
+    >= ``min_kept_lines`` kept lines, >= ``min_doc_words`` words, and
+    contains neither 'lorem ipsum' nor a curly brace (code page signal).
+    All expressions are per-row JVM (whole-stage codegen) — the filter
+    costs one scan at any corpus size."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col), t.alias("_t"))
+    lines_expr = ("filter(transform(split(_t, '\\n'), l -> trim(l)), "
+                  "l -> l <> '')")
+    kept_expr = (f"size(filter({lines_expr}, l -> "
+                 f"l rlike '[.!?\"]$' and "
+                 f"size(filter(split(l, '\\\\s+'), w -> w <> '')) >= "
+                 f"{min_words_per_line}))")
+    n_lines = F.expr(f"size({lines_expr})")
+    n_kept = F.expr(kept_expr)
+    n_words = F.expr("size(filter(split(lower(_t), '\\\\s+'), w -> w <> ''))")
+    has_lorem = F.lower(F.col("_t")).contains("lorem ipsum")
+    has_brace = F.col("_t").contains("{")
+    keep = ((n_kept >= min_kept_lines) & (n_words >= min_doc_words)
+            & ~has_lorem & ~has_brace)
+    return base.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        n_words.cast("int").alias("n_words"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep"),
+    )

@@ -709,3 +709,49 @@ def test_decode_image_real_raises_without_codec():
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG fake")
+
+
+def test_gopher_repetition(spark):
+    """Hand-checkable Gopher repetition fractions; short/empty/NULL docs
+    yield zeros (no bigrams, no lines), never NULL-bigram rows."""
+    from article_extractor_spark.operators.textstats import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [(0, "dup line\ndup line\nunique one"),
+         (1, "a b a b a b"),          # 'a b' bigram dominates
+         (2, "one"),                   # single token: no bigrams
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    r0 = rows[0]
+    assert r0["n_lines"] == 3
+    assert r0["frac_dup_lines"] == round(1 - 2 / 3, 6)
+    assert r0["frac_chars_dup_lines"] == round(16 / 26, 6)  # 2x'dup line'=16 of 26
+    r1 = rows[1]
+    assert r1["n_bigrams"] == 5
+    assert r1["top_bigram_frac"] == 0.6            # 'a b' 3 of 5
+    for d in (2, 3, 4):
+        assert rows[d]["n_bigrams"] == 0 and rows[d]["top_bigram_frac"] == 0.0
+    assert rows[2]["n_lines"] == 1 and rows[3]["n_lines"] == 0
+
+
+def test_c4_filters(spark):
+    """Line-keep rule (terminal punctuation + >=3 words), lorem/brace
+    rejection, and the document keep decision."""
+    from article_extractor_spark.operators.textstats import c4_filters
+
+    good = "This is a proper sentence with enough words to pass easily."
+    docs = spark.createDataFrame(
+        [(0, good + "\nshort.\nno punct line here"),
+         (1, "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed do."),
+         (2, "function f() { return 1; } with many extra words here today."),
+         (3, "tiny doc."),
+         (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+    assert rows[0]["n_lines"] == 3 and rows[0]["n_kept_lines"] == 1
+    assert rows[0]["keep"] == 1
+    assert rows[1]["has_lorem"] == 1 and rows[1]["keep"] == 0
+    assert rows[2]["has_brace"] == 1 and rows[2]["keep"] == 0
+    assert rows[3]["keep"] == 0          # under min_doc_words
+    assert rows[4]["n_words"] == 0 and rows[4]["keep"] == 0
