@@ -236,17 +236,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("_df") > max_shingle_df)
         .select("shingle")
     )
-    # postings limited to docs that appear in any candidate pair
-    sa = (
-        shingles.withColumnRenamed(id_col, "a_id")
-        .join(cands.select("a_id").distinct(), "a_id", "left_semi")
-        .join(hot, "shingle", "left_anti")
+    # postings limited to docs that appear in any candidate pair — built
+    # ONCE (semi-join on the union of pair sides + hot-shingle anti-join)
+    # and cached, instead of a separate restrict+anti pass per join side
+    cand_docs = (
+        cands.select(F.col("a_id").alias(id_col))
+        .unionByName(cands.select(F.col("b_id").alias(id_col)))
+        .distinct()
     )
-    sb = (
-        shingles.withColumnRenamed(id_col, "b_id")
-        .join(cands.select("b_id").distinct(), "b_id", "left_semi")
+    posts = (
+        shingles.join(cand_docs, id_col, "left_semi")
         .join(hot, "shingle", "left_anti")
+        .cache()
     )
+    sa = posts.withColumnRenamed(id_col, "a_id")
+    sb = posts.withColumnRenamed(id_col, "b_id")
     shared = (
         sa.join(sb, "shingle")
         .where(F.col("a_id") < F.col("b_id"))
