@@ -241,6 +241,56 @@ def q_script_detect(spark, sf_dir):
     return script_detect(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy: mean -log2 p(token) under the corpus
+    unigram model, 1e-6-quantized per instance (exact-sum policy)."""
+    from article_extractor_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf tokens per document (quantized idf, token tie-break)."""
+    from article_extractor_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministically decorated URLs (case, www., ports, trailing
+    slash, tracking params, fragments varying by doc_id) so the
+    normalization has real work; mirrored in the oracle CTE."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("https://")),
+        F.lit("site"), (d % 20).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (scheme/host case, www., default ports,
+    fragments, tracking params, param sort, trailing slash)."""
+    from article_extractor_spark.operators.weburl import normalize_urls
+
+    return normalize_urls(_messy_urls(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host rollup over canonical urls (crawl-curation host caps)."""
+    from article_extractor_spark.operators.weburl import domain_stats
+
+    out = domain_stats(_messy_urls(spark, sf_dir))
+    return out.select(
+        "host", F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_distinct_urls").cast("long").alias("n_distinct_urls"))
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher repetition filters over a line-structured view of the docs
     (text repeated twice + a 40-char prefix line, so duplicate-line and
@@ -605,6 +655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_detect": q_script_detect,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1065,6 +1119,131 @@ FROM kept GROUP BY doc_id
     _best = "greatest(" + ", ".join(f"ratio_{s}" for s in SCRIPT_RANGES) + ")"
     _pred = "CASE " + " ".join(
         f"WHEN ratio_{s} = {_best} THEN '{s}'" for s in SCRIPT_RANGES) + " END"
+    _TOKS_CTE = """
+docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+toks AS (
+  SELECT doc_id, u.tok
+  FROM docs, LATERAL unnest(list_filter(
+      regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS u(tok)
+)"""
+    sql["unigram_logprob"] = f"""
+WITH {_TOKS_CTE.strip()},
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT doc_id,
+         CAST(round((log2(CAST(t.n AS DOUBLE)) - log2(cnt)) * 1000000)
+              AS BIGINT) AS q
+  FROM toks JOIN vocab USING (tok), total t
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(q) AS BIGINT) AS sq
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       round(coalesce(CAST(p.sq AS DOUBLE) / 1000000 / p.n_tokens, 0.0), 6)
+         AS avg_neg_log2p
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+    sql["tfidf_keywords"] = f"""
+WITH {_TOKS_CTE.strip()},
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tok,
+         tf * CAST(round(ln(CAST(nd.n AS DOUBLE) / df) * 1000000) AS BIGINT)
+           AS q
+  FROM tf JOIN dfq USING (tok), nd
+),
+r AS (
+  SELECT doc_id, tok, q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, tok ASC)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS token,
+       round(CAST(q AS DOUBLE) / 1000000, 6) AS tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+    from article_extractor_spark.operators.weburl import TRACKING_PARAMS
+
+    _track = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    _MESSY_CTE = """
+messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END)
+         || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+         || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+         || '/articles/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+)"""
+    _NORM_CTE = f"""
+parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+           AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+           AS rest
+  FROM messy
+),
+comps AS (
+  SELECT url, scheme,
+         regexp_replace(regexp_replace(
+             regexp_extract(hostport, '^([^:]*)', 1), '^www\\.', ''),
+             '\\.$', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(rest, '^([^?]*)', 1) AS p,
+         regexp_extract(rest, '\\?(.*)$', 1) AS q
+  FROM parts
+),
+norm AS (
+  SELECT url, scheme, host,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443') THEN ''
+              ELSE ':' || port END AS portsfx,
+         CASE WHEN length(p) > 1 AND p LIKE '%/' THEN substr(p, 1, length(p) - 1)
+              WHEN p = '' THEN '/'
+              ELSE p END AS path,
+         coalesce(array_to_string(
+             list_sort(list_filter(string_split(q, '&'), pp ->
+                 pp <> '' AND NOT list_contains([{_track}],
+                                                lower(split_part(pp, '=', 1))))),
+             '&'), '') AS qnorm
+  FROM comps
+),
+canon AS (
+  SELECT url,
+         CASE WHEN scheme = '' THEN url
+              ELSE scheme || '://' || host || portsfx || path
+                   || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END)
+         END AS url_norm,
+         scheme, host, path
+  FROM norm
+)"""
+    sql["url_normalize"] = f"""
+WITH {_MESSY_CTE.strip()},
+{_NORM_CTE.strip()}
+SELECT url, url_norm, scheme, host, path FROM canon
+"""
+
+    sql["domain_stats"] = f"""
+WITH {_MESSY_CTE.strip()},
+{_NORM_CTE.strip()}
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_distinct_urls
+FROM canon GROUP BY 1
+"""
+
     sql["gopher_repetition"] = """
 WITH docs AS (
   SELECT doc_id, concat_ws(chr(10), text, text, substr(text, 1, 40)) AS t

@@ -329,3 +329,88 @@ def c4_filters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         has_brace.cast("int").alias("has_brace"),
         keep.cast("int").alias("keep"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log2 probability of its tokens under the CORPUS unigram
+    model (higher = more surprising = more likely junk).  The standard
+    perplexity-filter shape with the LM reduced to unigrams (no external
+    model files; self-scored on the corpus).
+
+    Scale shape: one token-keyed groupBy builds the vocab (map-side
+    combine), one token-keyed join scores instances (AQE may broadcast a
+    small vocab), one doc-keyed aggregate.  Exactness: each instance's
+    -log2 p is quantized to 1e-6 BEFORE summation (NOTES.md oracle
+    policy), so per-doc means are bit-identical regardless of partition
+    order."""
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    toks = base.select(
+        id_col,
+        F.explode(F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')"))
+        .alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n")).collect()[0]["n"]
+    total = int(total or 1)
+    scored = toks.join(vocab, "token").select(
+        id_col,
+        F.round((F.log2(F.lit(float(total))) - F.log2(F.col("cnt")))
+                * F.lit(1e6)).cast("bigint").alias("q"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("q").cast("bigint").alias("sq"),
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.coalesce(F.col("sq").cast("double") / F.lit(1e6)
+                    / F.col("n_tokens"), F.lit(0.0)), 6)
+            .alias("avg_neg_log2p"),
+        )
+    )
+
+
+def tfidf_keywords(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k characteristic tokens per document by tf x idf
+    (idf = ln(N / df), quantized to 1e-6 like every float in the oracle
+    contract; ties broken by token asc).  The lightweight keyword/topic
+    signal a curation dashboard slices on.
+
+    Scale shape: (doc, token) tf counts and token df counts are groupBys
+    with map-side combine; the ranking window partitions by doc — no
+    corpus-wide window, no driver collect except the corpus doc count."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    n_docs = base.count()
+    toks = base.select(
+        id_col,
+        F.explode(F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')"))
+        .alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        id_col, "token",
+        (F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df"))
+                               * F.lit(1e6)).cast("bigint")).alias("q"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("q").desc(),
+                                           F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token",
+                F.round(F.col("q").cast("double") / F.lit(1e6), 6)
+                .alias("tfidf"),
+                F.col("rank").cast("int").alias("rank"))
+    )

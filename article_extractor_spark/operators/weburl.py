@@ -1,0 +1,93 @@
+"""Web-URL operators: canonicalization and domain rollups — the first
+step of any web-corpus dedup (crawls reach the same page via
+http/https, www./bare, tracking params, fragments; canonicalizing before
+the url-level groupBy is what makes exact URL dedup meaningful).
+
+All pure JVM expressions (zero shuffle for the normalization itself),
+each mirrored 1:1 in the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# query params that never identify content (tracking/session)
+TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                   "utm_content", "gclid", "fbclid", "ref", "mc_cid",
+                   "mc_eid")
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL per row:
+
+    * scheme + host lowercased; leading ``www.`` and trailing dot dropped
+    * default ports stripped (``:80`` http, ``:443`` https)
+    * fragment dropped
+    * query split on ``&``: empty and tracking params dropped, the rest
+      SORTED and rejoined (param order never identifies content)
+    * trailing ``/`` dropped from non-root paths; empty path becomes ``/``
+
+    Non-URL rows (no ``scheme://``) pass through unchanged in
+    ``url_norm``.  Output: (url, url_norm, scheme, host, path) — a
+    zero-shuffle projection chain; feed ``url_norm`` into exact dedup /
+    groupBys."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    staged = df.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        .alias("scheme"),
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        .alias("_hostport"),
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+        .alias("_rest"),
+    ).select(
+        "url", "scheme",
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_extract("_hostport", r"^([^:]*)", 1),
+                             r"^www\.", ""),
+            r"\.$", "").alias("host"),
+        F.regexp_extract("_hostport", r":(\d+)$", 1).alias("_port"),
+        F.regexp_extract("_rest", r"^([^?]*)", 1).alias("_path"),
+        F.regexp_extract("_rest", r"\?(.*)$", 1).alias("_query"),
+    )
+    tracking = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    staged = staged.select(
+        "url", "scheme", "host",
+        F.when((F.col("_port") == "")
+               | ((F.col("scheme") == "http") & (F.col("_port") == "80"))
+               | ((F.col("scheme") == "https") & (F.col("_port") == "443")),
+               F.lit(""))
+        .otherwise(F.concat(F.lit(":"), F.col("_port"))).alias("_portsfx"),
+        F.when((F.length("_path") > 1) & F.col("_path").endswith("/"),
+               F.expr("substring(_path, 1, length(_path) - 1)"))
+        .when(F.col("_path") == "", F.lit("/"))
+        .otherwise(F.col("_path")).alias("path"),
+        F.expr(
+            f"array_join(array_sort(filter(split(_query, '&'), p -> "
+            f"p <> '' AND NOT array_contains(array({tracking}), "
+            f"lower(split_part(p, '=', 1))))), '&')"
+        ).alias("_qnorm"),
+    )
+    url_norm = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host"), F.col("_portsfx"),
+        F.col("path"),
+        F.when(F.col("_qnorm") == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), F.col("_qnorm"))),
+    )
+    return staged.select(
+        "url",
+        F.when(F.col("scheme") == "", F.col("url")).otherwise(url_norm)
+        .alias("url_norm"),
+        "scheme", "host", "path",
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host page counts and distinct canonical urls — the rollup a
+    crawl-curation pass filters on (host-level caps, spam domains).
+    One shuffle on host with map-side combine."""
+    norm = normalize_urls(df, url_col)
+    return norm.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url_norm").alias("n_distinct_urls"),
+    )

@@ -755,3 +755,82 @@ def test_c4_filters(spark):
     assert rows[2]["has_brace"] == 1 and rows[2]["keep"] == 0
     assert rows[3]["keep"] == 0          # under min_doc_words
     assert rows[4]["n_words"] == 0 and rows[4]["keep"] == 0
+
+
+def test_normalize_urls(spark):
+    """Canonicalization: scheme/host case, www., default ports, fragments,
+    tracking params, param sort, trailing slash; non-URLs pass through."""
+    from article_extractor_spark.operators.weburl import normalize_urls
+
+    cases = [
+        (0, "HTTP://WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        (1, "https://example.com:443/", "https://example.com/"),
+        (2, "https://example.com:8443/x", "https://example.com:8443/x"),
+        (3, "https://news.example.com./path/", "https://news.example.com/path"),
+        (4, "https://example.com?gclid=abc&ref=tw", "https://example.com/"),
+        (5, "not a url at all", "not a url at all"),
+        (6, None, None),
+    ]
+    docs = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                                 "doc_id long, url string")
+    got = {r["url"]: r["url_norm"]
+           for r in normalize_urls(docs).collect()}
+    for _, url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_domain_stats(spark):
+    from article_extractor_spark.operators.weburl import domain_stats
+
+    docs = spark.createDataFrame(
+        [(0, "https://www.a.com/x"), (1, "http://a.com/x/"),
+         (2, "https://a.com/y"), (3, "https://b.com/")],
+        "doc_id long, url string")
+    rows = {r["host"]: r for r in domain_stats(docs).collect()}
+    assert rows["a.com"]["n_pages"] == 3
+    # /x and /x/ canonicalize together BUT schemes differ (http vs https)
+    assert rows["a.com"]["n_distinct_urls"] == 3
+    assert rows["b.com"]["n_pages"] == 1
+
+
+def test_unigram_logprob(spark):
+    """Hand-checked corpus unigram surprisal: rarer tokens score higher;
+    quantization matches the documented 1e-6 policy; empty docs -> 0."""
+    import math
+
+    from article_extractor_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "c"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+
+    def qv(p):  # the operator's per-instance quantization
+        return round(round(-math.log2(p) * 1e6) / 1e6, 6)
+
+    total = 5  # a:3 b:1 c:1
+    q = lambda cnt: round(math.log2(total) - math.log2(cnt), 6)
+    exp0 = round((3 * round(-math.log2(3 / 5) * 1e6)
+                  + round(-math.log2(1 / 5) * 1e6)) / 1e6 / 4, 6)
+    assert rows[0]["n_tokens"] == 4
+    assert abs(rows[0]["avg_neg_log2p"] - exp0) < 1e-9
+    assert rows[1]["avg_neg_log2p"] == qv(1 / 5)
+    assert rows[2]["n_tokens"] == 0 and rows[2]["avg_neg_log2p"] == 0.0
+    # rarer-token doc is more surprising than the common-token doc
+    assert rows[1]["avg_neg_log2p"] > rows[0]["avg_neg_log2p"]
+
+
+def test_tfidf_keywords(spark):
+    from article_extractor_spark.operators.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"),
+         (2, "cherry cherry cherry")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r
+           for r in tfidf_keywords(docs, k=2).collect()}
+    assert out[(0, 1)]["token"] == "apple"      # unique to doc 0, tf 2
+    assert out[(0, 2)]["token"] == "banana"
+    assert out[(2, 1)]["token"] == "cherry"
+    # scores ordered within a doc
+    assert out[(0, 1)]["tfidf"] > out[(0, 2)]["tfidf"]
