@@ -241,6 +241,48 @@ def q_script_detect(spark, sf_dir):
     return script_detect(_docs(spark, sf_dir))
 
 
+def _snapshots(spark, sf_dir):
+    """Deterministic corpus + incoming-snapshot pair for the incremental
+    operators: every 3rd url re-crawled (every 6th strictly newer, the
+    rest an exact-timestamp tie), plus brand-new urls."""
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://ex.com/"), F.col("doc_id").cast("string"))
+    existing = docs.select(
+        url.alias("url"), F.col("doc_id").cast("long").alias("ts_secs"),
+        F.lit(0).alias("version"))
+    recrawl = docs.where(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.col("doc_id") + 1000000).otherwise(F.col("doc_id"))
+        .cast("long").alias("ts_secs"),
+        F.lit(1).alias("version"))
+    fresh = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(url, F.lit("-new")).alias("url"),
+        (F.col("doc_id") + 2000000).cast("long").alias("ts_secs"),
+        F.lit(1).alias("version"))
+    return existing, recrawl.unionByName(fresh)
+
+
+def q_merge_latest(spark, sf_dir):
+    """Iceberg-MERGE-style upsert: latest row per url (incoming wins
+    exact-timestamp ties) across corpus + snapshot."""
+    from article_extractor_spark.operators.incremental import merge_latest
+
+    existing, incoming = _snapshots(spark, sf_dir)
+    out = merge_latest(existing, incoming, key="url", ts="ts_secs")
+    return out.select("url", "ts_secs",
+                      F.col("version").cast("int").alias("version"))
+
+
+def q_incremental_new(spark, sf_dir):
+    """Incremental pre-filter: incoming rows whose url is absent from the
+    corpus (only these feed extraction on a re-crawl run)."""
+    from article_extractor_spark.operators.incremental import new_docs
+
+    existing, incoming = _snapshots(spark, sf_dir)
+    return new_docs(incoming, existing, key="url").select("url", "ts_secs")
+
+
 def q_unigram_logprob(spark, sf_dir):
     """CCNet-style LM quality proxy: mean -log2 p(token) under the corpus
     unigram model, 1e-6-quantized per instance (exact-sum policy)."""
@@ -659,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
+        "merge_latest": q_merge_latest,
+        "incremental_new": q_incremental_new,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1119,6 +1163,41 @@ FROM kept GROUP BY doc_id
     _best = "greatest(" + ", ".join(f"ratio_{s}" for s in SCRIPT_RANGES) + ")"
     _pred = "CASE " + " ".join(
         f"WHEN ratio_{s} = {_best} THEN '{s}'" for s in SCRIPT_RANGES) + " END"
+    _SNAP_CTE = """
+ex AS (
+  SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS BIGINT) AS ts_secs, 0 AS version, 0 AS src
+  FROM documents
+),
+inc AS (
+  SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id + 1000000
+                   ELSE doc_id END AS BIGINT) AS ts_secs,
+         1 AS version, 1 AS src
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) || '-new' AS url,
+         CAST(doc_id + 2000000 AS BIGINT) AS ts_secs, 1 AS version, 1 AS src
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+    sql["merge_latest"] = f"""
+WITH {_SNAP_CTE.strip()},
+u AS (SELECT * FROM ex UNION ALL SELECT * FROM inc),
+r AS (
+  SELECT url, ts_secs, version,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY ts_secs DESC, src DESC) AS rk
+  FROM u
+)
+SELECT url, ts_secs, CAST(version AS INTEGER) AS version FROM r WHERE rk = 1
+"""
+
+    sql["incremental_new"] = f"""
+WITH {_SNAP_CTE.strip()}
+SELECT i.url, i.ts_secs
+FROM inc i ANTI JOIN ex e ON e.url = i.url
+"""
+
     _TOKS_CTE = """
 docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 toks AS (

@@ -834,3 +834,26 @@ def test_tfidf_keywords(spark):
     assert out[(2, 1)]["token"] == "cherry"
     # scores ordered within a doc
     assert out[(0, 1)]["tfidf"] > out[(0, 2)]["tfidf"]
+
+
+def test_merge_latest_and_new_docs(spark):
+    """Upsert semantics: newest ts wins, incoming wins exact ties, new
+    keys insert; new_docs returns only unseen keys."""
+    from article_extractor_spark.operators.incremental import (merge_latest,
+                                                               new_docs)
+
+    existing = spark.createDataFrame(
+        [("u1", 10, "old1"), ("u2", 20, "old2"), ("u3", 30, "old3")],
+        "url string, ts long, body string")
+    incoming = spark.createDataFrame(
+        [("u1", 50, "new1"),    # strictly newer -> replaces
+         ("u2", 20, "new2"),    # exact tie -> incoming wins
+         ("u3", 5, "stale3"),   # older -> corpus row kept
+         ("u4", 99, "new4")],   # brand new -> inserted
+        "url string, ts long, body string")
+    got = {r["url"]: r["body"] for r in
+           merge_latest(existing, incoming, key="url", ts="ts").collect()}
+    assert got == {"u1": "new1", "u2": "new2", "u3": "old3", "u4": "new4"}
+
+    fresh = new_docs(incoming, existing, key="url")
+    assert {r["url"] for r in fresh.collect()} == {"u4"}

@@ -256,3 +256,42 @@ def test_stream_extraction_kill_and_restart(spark, tmp_path):
     single = spark.read.parquet(os.path.join(single_dir, "articles"))
     assert restarted.count() == 48 == single.count()   # no dupes, no loss
     assert key(restarted) == key(single)
+
+
+def test_stream_dedup_first_seen_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches AND across
+    a stop/restart are dropped via dropDuplicates state; output equals
+    batch distinct-by-url."""
+    import datetime
+
+    from article_extractor_spark.streaming.dedup_stream import dedup_stream
+
+    T0 = datetime.datetime(2024, 1, 1)
+    schema = "url string, warc_ts timestamp, body string"
+    in_dir, out_dir, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+
+    def write_wave(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (dedup_stream(stream, keys=("url",)).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    write_wave([("u1", T0, "a"), ("u2", T0, "b"), ("u1", T0, "dup")])
+    drain()
+    # second run (fresh query, same checkpoint): u1/u2 dups must be
+    # remembered by state, u3 is new
+    write_wave([("u2", T0, "dup"), ("u3", T0, "c"), ("u3", T0, "dup")])
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert {r["url"] for r in got.collect()} == {"u1", "u2", "u3"}
+    # first-seen wins: no row carries a 'dup' body
+    assert not [r for r in got.collect() if r["body"] == "dup"]
