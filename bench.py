@@ -128,9 +128,11 @@ def main() -> None:
         "dedup_minhash", "dedup_jaccard", "dedup_simhash",
         "ann_brute", "ann_lsh", "token_counts", "quality",
         "fingerprint", "media_decode",
-        # round-2 additions (informational; excluded from the headline
+        # round-2/3 additions (informational; excluded from the headline
         # total to keep `value` comparable round-over-round)
-        "pack_sequences", "line_dedup", "asof_join")
+        "pack_sequences", "line_dedup", "asof_join",
+        "gopher_repetition", "unigram_logprob", "url_normalize",
+        "merge_latest")
     for name in suite:
         fn = qs[name]
         best = None
@@ -145,7 +147,9 @@ def main() -> None:
     # suite total excludes informational entries (narrow variant and
     # round-2 query additions) so the headline `value` stays comparable
     # round-over-round against r01's query set
-    _info = {"extract_narrow", "pack_sequences", "line_dedup", "asof_join"}
+    _info = {"extract_narrow", "pack_sequences", "line_dedup", "asof_join",
+             "gopher_repetition", "unigram_logprob", "url_normalize",
+             "merge_latest"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
