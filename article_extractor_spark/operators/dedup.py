@@ -26,6 +26,20 @@ def _h(col, seed) -> "F.Column":
     )
 
 
+def ensure_min_partitions(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has task slots.  A single small parquet file scans
+    as ONE split (maxPartitionBytes), serializing every narrow stage
+    before the first shuffle — at sf0.1 the minhash signature projection
+    ran on 1 of 32 cores.  On a real corpus (thousands of splits) the
+    condition is false and this is a no-op, so the 100 TB plan gains no
+    extra exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one shuffle on md5(text); returns duplicate
@@ -53,6 +67,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     property local to each document."""
     # materialize the token array once: a `split()` inside the transform
     # lambda would be re-evaluated per gram (O(words^2) regex work per doc)
+    df = ensure_min_partitions(df)  # small-input scan = 1 split otherwise
     toks = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
