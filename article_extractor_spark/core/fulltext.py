@@ -600,18 +600,20 @@ def remove_single_cell_tables(root: Node) -> None:
         node_iter = util.next_node(node, False)
 
 
+_MEDIA_TAGS_UPPER = frozenset(("IMG", "EMBED", "OBJECT", "IFRAME"))
+
+
 def remove_extra_p_and_div(root: Node) -> None:
     node_iter: Node | None = root
     while node_iter is not None:
         node = node_iter
         tag_name = node.get_name().upper()
         if tag_name in ("P", "DIV"):
-            total = (
-                len(util.get_elements_by_tag_name(node, "img"))
-                + len(util.get_elements_by_tag_name(node, "embed"))
-                + len(util.get_elements_by_tag_name(node, "object"))
-                + len(util.get_elements_by_tag_name(node, "iframe"))
-            )
+            # four subtree scans fused into one (count-additive: the tag
+            # sets are disjoint, so one walk counting any of them equals
+            # the sum of four single-tag walks)
+            total = len(util.get_elements_by_tag_names(
+                node, _MEDIA_TAGS_UPPER))
             if total == 0 and util.get_inner_text(node, False).strip() == "":
                 node_iter = util.remove_and_next(node)
                 continue

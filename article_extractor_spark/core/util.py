@@ -300,10 +300,12 @@ def is_element_without_content(node: Node) -> bool:
     n_children = len(node.get_child_nodes())
     return (
         n_children == 0
-        or n_children
-        == len(get_elements_by_tag_name(node, "br"))
-        + len(get_elements_by_tag_name(node, "hr"))
+        # one fused walk: BR/HR are disjoint, count equals the two-scan sum
+        or n_children == len(get_elements_by_tag_names(node, _BR_HR))
     ) and node.get_content().strip() == ""
+
+
+_BR_HR = frozenset(("BR", "HR"))
 
 
 def is_element_without_children(node: Node) -> bool:
