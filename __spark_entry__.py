@@ -241,6 +241,41 @@ def q_script_detect(spark, sf_dir):
     return script_detect(_docs(spark, sf_dir))
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingest, value-checked end-to-end: documents are serialized
+    into real WARC/1.0 segments (HTTP response records, one gzip member
+    per record on half the segments — the CC layout), read back through
+    the distributed connector (binaryFile -> record parser), and reduced
+    to (url, payload md5).  The oracle computes the same md5 from the
+    SOURCE table — matching hashes prove the parser returned every
+    record's payload byte-exactly."""
+    import gzip as _gzip
+    import tempfile
+
+    from article_extractor_spark.sources.warc import build_warc, read_warc
+
+    import duckdb as _duckdb
+
+    rows = _duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+        f"ORDER BY doc_id"
+    ).fetchall()
+    tmp = tempfile.mkdtemp(prefix="warcq_")
+    seg, plain = [], []
+    for doc_id, text in rows:
+        rec = (f"https://warc.example.com/{doc_id}",
+               "2024-01-01T00:00:01Z", text.encode("utf-8"))
+        (seg if doc_id % 2 == 0 else plain).append(rec)
+    with open(os.path.join(tmp, "seg-0.warc"), "wb") as f:
+        f.write(build_warc(plain))
+    with open(os.path.join(tmp, "seg-1.warc.gz"), "wb") as f:
+        f.write(b"".join(_gzip.compress(build_warc([r])) for r in seg))
+    pages = read_warc(spark, tmp)
+    return pages.select(
+        "url", F.md5(F.col("html")).alias("payload_md5"))
+
+
 def _snapshots(spark, sf_dir):
     """Deterministic corpus + incoming-snapshot pair for the incremental
     operators: every 3rd url re-crawled (every 6th strictly newer, the
@@ -703,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
+        "warc_roundtrip": q_warc_roundtrip,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1163,6 +1199,12 @@ FROM kept GROUP BY doc_id
     _best = "greatest(" + ", ".join(f"ratio_{s}" for s in SCRIPT_RANGES) + ")"
     _pred = "CASE " + " ".join(
         f"WHEN ratio_{s} = {_best} THEN '{s}'" for s in SCRIPT_RANGES) + " END"
+    sql["warc_roundtrip"] = """
+SELECT 'https://warc.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(coalesce(text, '')) AS payload_md5
+FROM documents
+"""
+
     _SNAP_CTE = """
 ex AS (
   SELECT 'https://ex.com/' || CAST(doc_id AS VARCHAR) AS url,
