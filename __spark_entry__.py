@@ -241,6 +241,19 @@ def q_script_detect(spark, sf_dir):
     return script_detect(_docs(spark, sf_dir))
 
 
+def q_ann_ivf_refined(spark, sf_dir):
+    """IVF ANN probing REFINED centroids (one Lloyd round) instead of raw
+    seeds — the production IVF query path (train then probe)."""
+    from article_extractor_spark.operators.similarity import (ivf_topk,
+                                                              kmeans_centroids)
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cents = kmeans_centroids(emb, num_centroids=8, n_iter=1)
+    return ivf_topk(emb, queries, k=5, n_probes=2, cents=cents)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC ingest, value-checked end-to-end: documents are serialized
     into real WARC/1.0 segments (HTTP response records, one gzip member
@@ -739,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
+        "ann_ivf_refined": q_ann_ivf_refined,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1695,6 +1709,65 @@ scored AS (
          round({qdot} / ({_norm_sql('e.embedding')} * {_norm_sql('q.embedding')}), 4)
            AS cosine
   FROM base e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    _qcos4 = (f"round({_dot_sql('e.embedding', 'p.qv')} / "
+              f"({_norm_sql('e.embedding')} * {_norm_sql('p.qv')}), 4)")
+    sql["ann_ivf_refined"] = f"""
+WITH cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+    FROM embeddings e, cents0 c
+  ) WHERE rk = 1
+),
+m AS (
+  SELECT a.centroid_id, d.i AS dim,
+         CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS mean_val
+  FROM embeddings e
+  JOIN a0 a ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT centroid_id, list(mean_val ORDER BY dim) AS cvec FROM m GROUP BY 1
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+    FROM embeddings e, c1 c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT q_id, centroid_id, qv FROM (
+    SELECT e.vec_id AS q_id, c.centroid_id, e.embedding AS qv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+    FROM embeddings e, c1 c
+    WHERE e.vec_id < 3
+  ) WHERE rk <= 2
+),
+scored AS (
+  SELECT p.q_id, e.vec_id, {_qcos4} AS cosine
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id AND e.vec_id <> p.q_id
 ),
 ranked AS (
   SELECT q_id, vec_id, cosine,

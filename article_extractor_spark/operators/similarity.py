@@ -149,10 +149,13 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8,
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              num_centroids: int = 8, n_probes: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+             qid_col: str = "q_id", qvec_col: str = "q_vec",
+             cents: DataFrame | None = None) -> DataFrame:
     """IVF ANN: score only vectors whose inverted list (centroid) is among
-    the query's ``n_probes`` nearest centroids."""
-    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    the query's ``n_probes`` nearest centroids.  Pass
+    ``cents=kmeans_centroids(...)`` to probe refined centroids."""
+    if cents is None:
+        cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
     assign = ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
     qscored = (
         queries.select(F.col(qid_col), F.col(qvec_col).alias("qv"),
@@ -285,6 +288,17 @@ def kmeans(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
     integer sums), so every round is bit-identical to the SQL oracle's
     CTE chain; clusters that lose all members drop out, exactly as in
     the oracle.  Returns (id, centroid_id, centroid_sim)."""
+    cents = kmeans_centroids(emb, num_centroids, n_iter, id_col, vec_col)
+    return ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
+
+
+def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """The Lloyd refinement loop alone: (centroid_id, cvec, cn) after
+    ``n_iter`` rounds — feed into :func:`ivf_topk` so the IVF inverted
+    lists probe REFINED centroids instead of raw seeds (closes the
+    seeds-only asterisk on the ANN query path)."""
     spark = emb.sparkSession
     cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
     for _ in range(n_iter):
@@ -298,9 +312,9 @@ def kmeans(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
             for cid, vals in sorted(bycid.items())
         ]
         cents = spark.createDataFrame(
-            new, f"centroid_id long, cvec array<double>"
+            new, "centroid_id long, cvec array<double>"
         ).select("centroid_id", "cvec", _norm("cvec").alias("cn"))
-    return ivf_assign(emb, num_centroids, id_col, vec_col, cents=cents)
+    return cents
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
