@@ -857,3 +857,22 @@ def test_merge_latest_and_new_docs(spark):
 
     fresh = new_docs(incoming, existing, key="url")
     assert {r["url"] for r in fresh.collect()} == {"u4"}
+
+
+def test_ensure_min_partitions_conditional(spark):
+    """Repartitions a 1-split input up to the task-slot count, but is a
+    NO-OP when the input is already parallel (the 100 TB plan must not
+    gain an extra exchange)."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long") \
+        .coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    boosted = ensure_min_partitions(small)
+    assert boosted.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    assert boosted.count() == 100
+
+    wide = spark.createDataFrame([(i,) for i in range(100)], "doc_id long") \
+        .repartition(64)
+    assert ensure_min_partitions(wide) is wide  # untouched plan object
