@@ -254,6 +254,14 @@ def q_ann_ivf_refined(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_probes=2, cents=cents)
 
 
+def q_random_projection(spark, sf_dir):
+    """JL embedding compression: hash-derived ±1 projection to 4 dims,
+    exact quantized signed sums (zero shuffle)."""
+    from article_extractor_spark.operators.similarity import random_projection
+
+    return random_projection(_emb(spark, sf_dir), out_dims=4)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC ingest, value-checked end-to-end: documents are serialized
     into real WARC/1.0 segments (HTTP response records, one gzip member
@@ -753,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
         "ann_ivf_refined": q_ann_ivf_refined,
+        "random_projection": q_random_projection,
         "dedup_simhash": q_dedup_simhash,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
@@ -1717,6 +1726,22 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    _rp_scale = 1.0 / (4 ** 0.5)
+    # no final round() — see random_projection: half-ulp ties round
+    # differently across engines; the unrounded doubles are bit-identical
+    _rp_sums = ", ".join(
+        f"CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000) AS BIGINT) * "
+        f"(CASE WHEN cast(concat('0x', substr(md5('{j}' || ':' || CAST(d.i AS VARCHAR)), 1, 15)) as ubigint)::bigint % 2 = 0 "
+        f"THEN 1 ELSE -1 END)) AS DOUBLE) / 1000000 * {_rp_scale!r} AS c{j}"
+        for j in range(4)
+    )
+    sql["random_projection"] = f"""
+SELECT e.vec_id, {_rp_sums}
+FROM embeddings e,
+     LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
+GROUP BY e.vec_id
 """
 
     _qcos4 = (f"round({_dot_sql('e.embedding', 'p.qv')} / "

@@ -361,3 +361,41 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, "cosine", "rank")
     )
+
+
+def random_projection(emb: DataFrame, out_dims: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dims: int | None = None) -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression via an Achlioptas-style
+    ±1 projection: out[j] = sum_d x[d] * sign(md5(j:d)) / sqrt(out_dims).
+    The matrix is hash-derived (no stored model, reproducible anywhere —
+    the same derivation as :func:`hyperplane_bucket`'s planes) and baked
+    into ONE per-row projection: zero shuffle, zero join, so compressing
+    a 10^12-row embedding table is a single map stage.
+
+    Distances are preserved in expectation (JL lemma); downstream ANN /
+    clustering runs on the compressed vectors at out_dims/dims the cost.
+
+    Exactness: each input component is 1e-6-quantized BEFORE the signed
+    integer sum (NOTES.md oracle policy) — a double-sum's last bits depend
+    on summation order, which the oracle engine does not share."""
+    if dims is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("_d")).first()
+        dims = int(row["_d"]) if row is not None and row["_d"] is not None else 1
+    ws = _plane_weights(out_dims, dims)
+    scale = 1.0 / (out_dims ** 0.5)
+    # no final round: the quantized integer sum is identical on both
+    # sides, and /1e6 * scale is the same two IEEE ops — bit-identical —
+    # while round(, 6) HITS half-ulp ties that Spark (HALF_UP) and the
+    # oracle engine round differently
+    comps = [
+        (F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(w) for w in ws[j]]),
+                       lambda x, w: F.round(x.cast("double") * F.lit(1e6))
+                       .cast("long") * w.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).cast("double") / F.lit(1e6) * F.lit(scale)).alias(f"c{j}")
+        for j in range(out_dims)
+    ]
+    return emb.select(F.col(id_col), *comps)

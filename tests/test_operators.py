@@ -876,3 +876,24 @@ def test_ensure_min_partitions_conditional(spark):
     wide = spark.createDataFrame([(i,) for i in range(100)], "doc_id long") \
         .repartition(64)
     assert ensure_min_partitions(wide) is wide  # untouched plan object
+
+
+def test_random_projection(spark):
+    """Matches a manual computation with the same hash-derived ±1 weights
+    and quantization; deterministic across invocations."""
+    from article_extractor_spark.operators.similarity import (_plane_weights,
+                                                              random_projection)
+
+    vecs = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [0.1234567, 1.0, -1.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: [r[f"c{j}"] for j in range(2)]
+           for r in random_projection(emb, out_dims=2, dims=3).collect()}
+    ws = _plane_weights(2, 3)
+    scale = 1.0 / (2 ** 0.5)
+    for vid, v in vecs:
+        want = [sum(round(x * 1e6) * int(w) for x, w in zip(v, ws[j]))
+                / 1e6 * scale for j in range(2)]
+        assert out[vid] == want, (vid, out[vid], want)
+    again = {r["vec_id"]: [r[f"c{j}"] for j in range(2)]
+             for r in random_projection(emb, out_dims=2, dims=3).collect()}
+    assert again == out
