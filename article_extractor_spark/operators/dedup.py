@@ -259,19 +259,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .unionByName(cands.select(F.col("b_id").alias(id_col)))
         .distinct()
     )
-    posts = (
+    # per-candidate-doc shingle set, collected to one array row per doc.
+    # |∩| is then size(array_intersect) computed IN-ROW per candidate
+    # pair — replacing the earlier shingle-keyed posting self-join +
+    # pair-count groupBy + candidate re-join (3 exchanges and a Σdf²
+    # intermediate) with two equi-joins of |pairs| rows against |cand
+    # docs| rows.  Cost per pair is O(na+nb); total fan-out is
+    # Σ_pairs(na+nb), the same postings volume the self-join shipped but
+    # touched once, with no quadratic co-occurrence blowup.  Row width is
+    # bounded by document length (a 10 MB doc ≈ 1M shingles ≈ a few MB
+    # array), fine for executor memory at any corpus scale since the
+    # array never aggregates across documents.  Results are identical:
+    # shingles are per-doc distinct (word_shingles array_distinct), so
+    # array_intersect size == distinct shared-shingle count, and the
+    # hot-shingle cap drops the same postings it dropped before.
+    doc_sets = (
         shingles.join(cand_docs, id_col, "left_semi")
         .join(hot, "shingle", "left_anti")
-        .cache()
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_set"))
     )
-    sa = posts.withColumnRenamed(id_col, "a_id")
-    sb = posts.withColumnRenamed(id_col, "b_id")
     shared = (
-        sa.join(sb, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")           # map-side combine before the
-        .agg(F.count(F.lit(1)).alias("n_shared"))  # candidate filter
-        .join(cands, ["a_id", "b_id"])     # inner: filter + attach (na, nb)
+        cands
+        .join(doc_sets.select(F.col(id_col).alias("a_id"),
+                              F.col("_set").alias("_sa")), "a_id")
+        .join(doc_sets.select(F.col(id_col).alias("b_id"),
+                              F.col("_set").alias("_sb")), "b_id")
+        .withColumn("n_shared", F.size(F.array_intersect("_sa", "_sb")))
+        .drop("_sa", "_sb")
+        # parity with the posting-join form: a pair sharing nothing never
+        # produced a count row there, so it must not appear here either
+        # (visible only at threshold == 0)
+        .where(F.col("n_shared") >= 1)
     )
     return (
         shared
