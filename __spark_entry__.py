@@ -354,6 +354,36 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 3-gram overlap of every document
+    against a deterministic 1/16 'eval set' (docs whose md5(doc_id)
+    starts with '0'); flags overlap_ratio >= 0.2."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+    return decontaminate(docs, ev, threshold=0.2)
+
+
+def q_classifier_score(spark, sf_dir):
+    """Hashed-linear quality-classifier inference (literal weight table,
+    zero-shuffle in-row aggregate)."""
+    from article_extractor_spark.operators.textstats import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-0.5 data-mixing weights per source domain with
+    planned doc counts for a 100k budget."""
+    from article_extractor_spark.operators.textstats import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), budget=100_000)
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministically decorated URLs (case, www., ports, trailing
     slash, tracking params, fragments varying by doc_id) so the
@@ -757,6 +787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
+        "decontaminate": q_decontaminate,
+        "classifier_score": q_classifier_score,
+        "mixture_weights": q_mixture_weights,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1312,6 +1345,88 @@ SELECT doc_id, tok AS token,
        round(CAST(q AS DOUBLE) / 1000000, 6) AS tfidf,
        CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 3
+"""
+
+    sql["decontaminate"] = f"""
+WITH {_SHINGLES_CTE.strip()},
+ev AS (
+  SELECT DISTINCT s.shingle
+  FROM shingles s
+  WHERE substr(md5(cast(s.doc_id AS VARCHAR)), 1, 1) = '0'
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM shingles GROUP BY 1
+),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM shingles s JOIN ev USING (shingle) GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(coalesce(z.n_shingles, 0) AS BIGINT) AS n_shingles,
+         CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap
+  FROM documents d
+  LEFT JOIN sizes z USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(CASE WHEN n_shingles > 0
+             THEN CAST(n_overlap AS DOUBLE) / n_shingles
+             ELSE 0.0 END, 6) AS overlap_ratio,
+       CAST(round(CASE WHEN n_shingles > 0
+             THEN CAST(n_overlap AS DOUBLE) / n_shingles
+             ELSE 0.0 END, 6) >= CAST(0.2 AS DOUBLE) AS INTEGER)
+         AS contaminated
+FROM base
+"""
+
+    from article_extractor_spark.operators.textstats import (CLF_DIM,
+                                                             CLF_WEIGHTS)
+
+    _w_lit = "[" + ", ".join(str(w) for w in CLF_WEIGHTS) + "]"
+    sql["classifier_score"] = f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')
+           AS toks
+  FROM docs
+),
+calc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, tk ->
+             {_w_lit}[CAST(CAST(concat('0x', substr(md5(tk), 1, 6))
+                           AS BIGINT) % {CLF_DIM} AS INTEGER) + 1])), 0)
+              AS BIGINT) AS sq
+  FROM feat
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0
+             THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
+             ELSE 0.0 END, 6) AS clf_score,
+       CAST(round(CASE WHEN n_tokens > 0
+             THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
+             ELSE 0.0 END, 6) > CAST(0.0 AS DOUBLE) AS INTEGER) AS keep
+FROM calc
+"""
+
+    sql["mixture_weights"] = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+q AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s
+  FROM per
+),
+t AS (SELECT CAST(sum(s) AS BIGINT) AS tot FROM q)
+SELECT source, n_docs,
+       round(CAST(s AS DOUBLE) / tot, 6) AS mix_weight,
+       CAST((100000 * s) // tot AS BIGINT) AS planned_docs
+FROM q, t
 """
 
     from article_extractor_spark.operators.weburl import TRACKING_PARAMS

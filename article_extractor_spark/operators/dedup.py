@@ -549,3 +549,50 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    n-gram overlap with an evaluation/benchmark set exceeds a threshold
+    (the GPT-3/Llama pretraining hygiene step — eval leakage into
+    training data inflates reported scores, so contaminated docs are
+    dropped before training).
+
+    Per doc: n_shingles = |distinct n-grams|, n_overlap = |n-grams also
+    present anywhere in the eval set|, overlap_ratio = n_overlap /
+    n_shingles, contaminated = ratio >= threshold (1/0).
+
+    Scale shape: the eval side collapses to DISTINCT shingle values —
+    benchmarks are tiny next to a 100 TB corpus, so AQE broadcasts that
+    set and the overlap join is map-side; the only corpus-wide shuffle
+    is the per-doc count groupBy (map-side combine, |docs| skinny rows).
+    No corpus self-join anywhere, so cost is linear in corpus postings.
+    """
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    ev = (word_shingles(eval_df, text_col, id_col, shingle_n)
+          .select("shingle").distinct())
+    sizes = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    hits = sh.join(ev, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    ratio = F.round(
+        F.when(F.col("n_shingles") > 0,
+               F.col("n_overlap").cast("double") / F.col("n_shingles"))
+        .otherwise(F.lit(0.0)), 6)
+    return (
+        df.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            F.col(id_col), "n_shingles", "n_overlap",
+            ratio.alias("overlap_ratio"),
+            (ratio >= F.lit(threshold)).cast("int").alias("contaminated"),
+        )
+    )

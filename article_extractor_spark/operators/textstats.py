@@ -414,3 +414,89 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
                 .alias("tfidf"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# Hashed-linear classifier weights: D buckets, integer weights in
+# [-50, 50], derived from a fixed affine sequence so the DuckDB oracle
+# can inline the identical literal list.  Stands in for a fastText-style
+# quality classifier exported to per-bucket weights; swap CLF_WEIGHTS for
+# a trained export without touching the plan.
+CLF_DIM = 64
+CLF_WEIGHTS = [((j * 37 + 11) % 101) - 50 for j in range(CLF_DIM)]
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Linear classifier inference over hashed bag-of-words features —
+    the model-based quality-filter shape (fastText/logistic quality
+    classifiers in C4/CCNet/Llama pipelines) reduced to its distributed
+    essentials: token -> hash bucket -> literal weight, summed per doc.
+
+    Entirely in-row (tokenize, transform, aggregate) — ZERO shuffles;
+    the weight table is a literal array baked into the plan, the exact
+    shape a broadcast-exported real model would take.  Integer weight
+    sums are exact, so score = sum / (100 * n_tokens) is a single
+    division of exact operands (NOTES.md oracle float policy).
+
+    Emits (doc_id, n_tokens, clf_score, keep): keep = score > 0."""
+    w_lit = ", ".join(str(w) for w in CLF_WEIGHTS)
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    toks = F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')")
+    scored = base.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"aggregate(filter(split(lower(_t), '\\\\s+'), t -> t <> ''), "
+            f"0L, (acc, t) -> acc + element_at(array({w_lit}), "
+            f"cast(cast(conv(substr(md5(t), 1, 6), 16, 10) as int) "
+            f"% {CLF_DIM} + 1 as int)))"
+        ).cast("bigint").alias("_sq"),
+    )
+    score = F.round(
+        F.when(F.col("n_tokens") > 0,
+               F.col("_sq").cast("double") / (F.lit(100.0) * F.col("n_tokens")))
+        .otherwise(F.lit(0.0)), 6)
+    return scored.select(
+        F.col(id_col), F.col("n_tokens"),
+        score.alias("clf_score"),
+        (score > F.lit(0.0)).cast("int").alias("keep"),
+    )
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    id_col: str = "doc_id",
+                    budget: int = 100_000) -> DataFrame:
+    """Data-mixing planner: per-domain sampling weights with temperature
+    tau = 0.5 (w_i = n_i^tau / sum_j n_j^tau) and the per-domain planned
+    doc count for a total sample budget.  The standard multi-source
+    mixing step (GPT-3 / Llama data recipes) ahead of
+    ``stratified_sample``, which then applies the realized rates.
+
+    Exactness: sqrt is IEEE-correctly-rounded in both the JVM and
+    DuckDB, each sqrt is quantized to 1e-6 BEFORE the cross-domain sum
+    (NOTES.md policy), so weights and integer planned counts are
+    bit-identical regardless of aggregation order.  Scale: one groupBy
+    on the domain key; the all-rows total window runs over |domains|
+    rows (thousands at worst), not |docs| — a deliberate single-
+    partition exchange of a driver-sized table."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per = per.withColumn(
+        "_s",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6))
+        .cast("bigint"))
+    tot = F.sum("_s").over(Window.partitionBy())
+    return (
+        per.withColumn("_tot", tot)
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.round(F.col("_s").cast("double") / F.col("_tot"), 6)
+            .alias("mix_weight"),
+            F.expr(f"CAST(({budget} * _s) DIV _tot AS BIGINT)")
+            .alias("planned_docs"),
+        )
+    )

@@ -897,3 +897,77 @@ def test_random_projection(spark):
     again = {r["vec_id"]: [r[f"c{j}"] for j in range(2)]
              for r in random_projection(emb, out_dims=2, dims=3).collect()}
     assert again == out
+
+
+def test_decontaminate(spark):
+    """Overlap ratios vs a one-doc eval set; zero-shingle and zero-overlap
+    docs get explicit zeros (never NULL)."""
+    from article_extractor_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over a lazy dog"),
+         (2, "completely different content about spark engines"),
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    ev = docs.where(F.col("doc_id") == 0)
+    rows = {r["doc_id"]: r for r in
+            decontaminate(docs, ev, threshold=0.2).collect()}
+    assert rows[0]["n_shingles"] == 7 and rows[0]["overlap_ratio"] == 1.0
+    assert rows[0]["contaminated"] == 1
+    # doc 1 shares 4 of its 7 trigrams with doc 0
+    assert rows[1]["n_overlap"] == 4
+    assert rows[1]["overlap_ratio"] == round(4 / 7, 6)
+    assert rows[1]["contaminated"] == 1
+    # no overlap: explicit zeros, not NULL
+    assert rows[2]["n_overlap"] == 0 and rows[2]["overlap_ratio"] == 0.0
+    assert rows[2]["contaminated"] == 0
+    for d in (3, 4):
+        assert rows[d]["n_shingles"] == 0 and rows[d]["overlap_ratio"] == 0.0
+
+
+def test_classifier_score(spark):
+    """Score equals the Python-recomputed hashed-weight mean; empty/NULL
+    docs score 0 with keep=0."""
+    import hashlib
+
+    from article_extractor_spark.operators.textstats import (
+        CLF_DIM, CLF_WEIGHTS, classifier_score)
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "Spark ENGINES ftw"),
+         (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classifier_score(docs).collect()}
+
+    def expected(text):
+        toks = [t for t in text.lower().split() if t]
+        s = sum(CLF_WEIGHTS[int(hashlib.md5(t.encode()).hexdigest()[:6], 16)
+                            % CLF_DIM] for t in toks)
+        return round(s / (100.0 * len(toks)), 6) if toks else 0.0
+
+    for d, text in ((0, "the quick brown fox"), (1, "Spark ENGINES ftw")):
+        assert rows[d]["clf_score"] == expected(text)
+        assert rows[d]["keep"] == int(expected(text) > 0)
+    for d in (2, 3):
+        assert rows[d]["n_tokens"] == 0 and rows[d]["clf_score"] == 0.0
+        assert rows[d]["keep"] == 0
+
+
+def test_mixture_weights(spark):
+    """Hand-checked temperature-0.5 weights and integer planned counts."""
+    from article_extractor_spark.operators.textstats import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(0, "a", "web"), (1, "b", "web"), (2, "c", "books"),
+         (3, "d", "books"), (4, "e", "code")],
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in
+            mixture_weights(docs, budget=10).collect()}
+    s2, s1 = round(2 ** 0.5 * 1e6), 1_000_000   # quantized sqrt weights
+    tot = 2 * s2 + s1
+    assert rows["web"]["mix_weight"] == round(s2 / tot, 6)
+    assert rows["code"]["mix_weight"] == round(s1 / tot, 6)
+    assert rows["web"]["planned_docs"] == (10 * s2) // tot == 3
+    assert rows["code"]["planned_docs"] == (10 * s1) // tot == 2
+    assert sum(r["n_docs"] for r in rows.values()) == 5
