@@ -384,6 +384,35 @@ def q_mixture_weights(spark, sf_dir):
     return mixture_weights(_docs(spark, sf_dir), budget=100_000)
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host link-graph PageRank: pages decorated with deterministic
+    cross-host anchors (plus a relative and a self link that must be
+    filtered), outlinks parsed from the HTML with regexp_extract_all,
+    3 quantized-integer PageRank iterations over the host edge list."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.linkgraph import (extract_outlinks,
+                                                             host_pagerank)
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "concat('<p><a href=\"https://src', "
+            "CAST((doc_id * 7 + 1) % 20 AS STRING), "
+            "'.example.com/a/', CAST(doc_id AS STRING), '\">x</a>', "
+            "'<a href=\"https://src', CAST((doc_id * 7 + 3) % 20 AS STRING), "
+            "'.example.com/b\">y</a>', "
+            "'<a href=\"/relative\">rel</a>', "
+            "'<a href=\"https://', coalesce(source, 'src0'), "
+            "'.example.com/self\">self</a></p>')"
+        ).alias("html"),
+    )
+    return host_pagerank(extract_outlinks(pages), iterations=3)
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministically decorated URLs (case, www., ports, trailing
     slash, tracking params, fragments varying by doc_id) so the
@@ -790,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "classifier_score": q_classifier_score,
         "mixture_weights": q_mixture_weights,
+        "host_pagerank": q_host_pagerank,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1410,6 +1440,71 @@ SELECT doc_id, n_tokens,
              THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
              ELSE 0.0 END, 6) > CAST(0.0 AS DOUBLE) AS INTEGER) AS keep
 FROM calc
+"""
+
+    _pr_iters = []
+    for _i in range(1, 4):
+        _prev = f"r{_i - 1}"
+        _pr_iters.append(f"""c{_i} AS (
+  SELECT e.dst_host AS host,
+         CAST(sum((r.r * e.n_links) // o.w_out) AS BIGINT) AS s
+  FROM edges e
+  JOIN outw o USING (src_host)
+  JOIN {_prev} r ON r.host = e.src_host
+  GROUP BY 1
+),
+r{_i} AS (
+  SELECT n.host,
+         CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{_i} c USING (host)
+)""")
+    _pr_body = ",\n".join(_pr_iters)
+    sql["host_pagerank"] = f"""
+WITH pages AS (
+  SELECT 'https://' || coalesce(source, 'src0') || '.example.com/articles/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p><a href="https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+           || '.example.com/a/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+           || '<a href="https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+           || '.example.com/b">y</a>'
+           || '<a href="/relative">rel</a>'
+           || '<a href="https://' || coalesce(source, 'src0')
+           || '.example.com/self">self</a></p>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+         u.href
+  FROM pages,
+       LATERAL unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+         AS u(href)
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM (
+    SELECT src_host,
+           lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host
+    FROM hrefs WHERE regexp_matches(href, '^https?://')
+  )
+  WHERE dst_host <> '' AND dst_host <> src_host
+  GROUP BY 1, 2
+),
+outw AS (
+  SELECT src_host, CAST(sum(n_links) AS BIGINT) AS w_out
+  FROM edges GROUP BY 1
+),
+nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION
+  SELECT dst_host FROM edges
+),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{_pr_body}
+SELECT host, r AS rank_micro,
+       round(CAST(r AS DOUBLE) / 1000000, 6) AS pagerank
+FROM r3
 """
 
     sql["mixture_weights"] = """

@@ -1,0 +1,115 @@
+"""Web link-graph operators: outlink extraction from raw HTML and a
+quantized host-level PageRank.
+
+The standard crawl-curation pair — build the host graph from anchors,
+rank hosts, use rank as a crawl-priority / quality prior (the reference
+engine extracts per-page content only; the graph view is the corpus-level
+complement a 100 TB pipeline needs).
+
+Scale shapes:
+
+* :func:`extract_outlinks` is one regexp projection + generator per page
+  (no shuffle) followed by a single (src, dst) groupBy — linear in pages.
+* :func:`host_pagerank` is the classic distributed PageRank loop: per
+  iteration ONE join of the rank vector against the edge list (both keyed
+  on the src host — co-partitioned after the first shuffle) and ONE groupBy
+  on dst.  The rank vector has |hosts| rows, never |pages|.
+
+Exactness (NOTES.md oracle float policy): ranks live in integer
+micro-units.  Per-edge contribution is ``(r * w) DIV w_out`` and the damped
+update is ``150000 + (85 * S) DIV 100`` — every step is exact bigint
+arithmetic, so results are bit-identical regardless of partition order and
+the DuckDB oracle can unroll the same iterations in SQL.  (Integer
+truncation leaks a little rank mass — documented, deterministic.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+def extract_outlinks(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """Host-level weighted edge list from anchor hrefs in raw HTML.
+
+    Emits ``(src_host, dst_host, n_links)`` for absolute http(s) links
+    whose target host differs from the source host (self-loops carry no
+    ranking signal and are dropped, as in standard host-graph builds).
+    ``html`` may be binary (decoded as UTF-8) or string."""
+    is_bin = dict(pages.dtypes)[html_col] == "binary"
+    html_str = (F.decode(F.col(html_col), "UTF-8") if is_bin
+                else F.col(html_col).cast("string"))
+    base = pages.select(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+        .alias("src_host"),
+        html_str.alias("_html"),
+    )
+    links = base.select(
+        "src_host",
+        F.explode(
+            F.expr("regexp_extract_all(_html, 'href=\"([^\"]+)\"', 1)")
+        ).alias("_href"),
+    )
+    dst = F.lower(F.regexp_extract(F.col("_href"), _HOST_RE, 1))
+    return (
+        links.where(F.col("_href").rlike(r"^https?://"))
+        .select("src_host", dst.alias("dst_host"))
+        .where((F.col("dst_host") != "") & (F.col("dst_host") != F.col("src_host")))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )
+
+
+def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Quantized damped PageRank (d = 0.85) over a weighted host edge
+    list, run for a fixed number of iterations.
+
+    Nodes are all hosts appearing on either side.  r0 = 1e6 micro-units
+    for every node; each iteration:
+
+        contrib(u->v) = (r(u) * w(u,v)) DIV w_out(u)
+        r'(v)         = 150000 + (85 * sum(contrib)) DIV 100
+
+    Dangling hosts (no outlinks) keep receiving and simply do not emit —
+    their mass leak is the standard simplification and is identical in
+    the SQL oracle.  The loop is a driver-side ``for`` over a |hosts|-row
+    DataFrame; each pass adds one join + one groupBy to the plan, which
+    stays shallow for the handful of iterations PageRank needs."""
+    edges = edges.cache()
+    out_w = edges.groupBy("src_host").agg(
+        F.sum("n_links").cast("bigint").alias("w_out"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .cache()
+    )
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("bigint"))
+    ew = edges.join(out_w, "src_host").cache()
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("host", "src_host"), "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("CAST((r * n_links) DIV w_out AS BIGINT)").alias("_c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("_c").cast("bigint").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.lit(150_000) +
+                 F.expr("CAST((85 * coalesce(_s, 0L)) DIV 100 AS BIGINT)"))
+                .cast("bigint").alias("r"),
+            )
+        )
+    return ranks.select(
+        "host",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r").cast("double") / F.lit(1e6), 6).alias("pagerank"),
+    )

@@ -971,3 +971,38 @@ def test_mixture_weights(spark):
     assert rows["web"]["planned_docs"] == (10 * s2) // tot == 3
     assert rows["code"]["planned_docs"] == (10 * s1) // tot == 2
     assert sum(r["n_docs"] for r in rows.values()) == 5
+
+
+def test_extract_outlinks_and_pagerank(spark):
+    """Edge list drops relative/self links; 3 quantized PageRank
+    iterations match the hand-computed fixed-point arithmetic."""
+    from article_extractor_spark.operators.linkgraph import (
+        extract_outlinks, host_pagerank)
+
+    html_a = ('<a href="https://b.com/1">l</a><a href="/rel">r</a>'
+              '<a href="https://a.com/self">s</a>'
+              '<a href="https://c.com/2">m</a>')
+    pages = spark.createDataFrame(
+        [("https://a.com/x", html_a), ("https://b.com/y",
+          '<a href="https://a.com/3">l</a>')],
+        "url string, html string")
+    edges_df = extract_outlinks(pages)
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in edges_df.collect()}
+    assert edges == {("a.com", "b.com"): 1, ("a.com", "c.com"): 1,
+                     ("b.com", "a.com"): 1}
+
+    # binary html column decodes to the same edge list
+    pages_bin = pages.select("url", F.encode("html", "UTF-8").alias("html"))
+    edges_bin = {(r["src_host"], r["dst_host"]): r["n_links"]
+                 for r in extract_outlinks(pages_bin).collect()}
+    assert edges_bin == edges
+
+    # hand-computed quantized ranks: a has 2 outlinks (split), b has 1,
+    # c is dangling (receives, never emits)
+    pr = {r["host"]: r["rank_micro"]
+          for r in host_pagerank(edges_df, iterations=3).collect()}
+    assert pr == {"a.com": 638750, "b.com": 421468, "c.com": 421468}
+    ranks = host_pagerank(edges_df, iterations=3).collect()
+    assert all(r["pagerank"] == round(r["rank_micro"] / 1e6, 6)
+               for r in ranks)
