@@ -413,6 +413,32 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(extract_outlinks(pages), iterations=3)
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """UT1-style blocklist filtering via the suffix-chain equi-join:
+    every third doc gets a cdn. subdomain so blocking src3.example.com
+    must also catch cdn.src3.example.com through the parent-domain
+    suffix."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.weburl import blocklist_filter
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.coalesce("source", F.lit("src0")),
+            F.lit(".example.com/articles/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",), ("badsite.test",)],
+        "host string")
+    return blocklist_filter(urls, blocked)
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministically decorated URLs (case, www., ports, trailing
     slash, tracking params, fragments varying by doc_id) so the
@@ -820,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "mixture_weights": q_mixture_weights,
         "host_pagerank": q_host_pagerank,
+        "blocklist_filter": q_blocklist_filter,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1505,6 +1532,33 @@ r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
 SELECT host, r AS rank_micro,
        round(CAST(r AS DOUBLE) / 1000000, 6) AS pagerank
 FROM r3
+"""
+
+    sql["blocklist_filter"] = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END)
+           || coalesce(source, 'src0') || '.example.com' AS host
+  FROM documents
+),
+b(bhost) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+                    ('badsite.test')),
+p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM u),
+sufs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(parts, CAST(i.i AS INTEGER) + 1,
+                                    len(parts)), '.') AS suffix
+  FROM p, LATERAL (SELECT unnest(range(len(parts))) AS i) i
+),
+m AS (
+  SELECT s.doc_id, arg_min(s.suffix, length(s.suffix)) AS blocked_by
+  FROM sufs s JOIN b ON s.suffix = b.bhost
+  GROUP BY 1
+)
+SELECT u.doc_id, u.host,
+       CAST(m.blocked_by IS NOT NULL AS INTEGER) AS blocked,
+       m.blocked_by
+FROM u LEFT JOIN m USING (doc_id)
 """
 
     sql["mixture_weights"] = """

@@ -91,3 +91,52 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("url_norm").alias("n_distinct_urls"),
     )
+
+
+def blocklist_filter(df: DataFrame, blocked: DataFrame,
+                     url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """URL blocklist filtering (the UT1-style category-blocklist stage in
+    RefinedWeb/FineWeb curation): a page is blocked when its host OR any
+    parent domain appears in the blocklist (blocking ``example.com``
+    blocks ``a.b.example.com``).
+
+    Scale shape: suffix matching is made an EQUI-join — each host
+    explodes into its domain-suffix chain (``a.b.c`` → ``a.b.c``,
+    ``b.c``, ``c``; fan-out = label count, ~3-5), joined on the suffix
+    against the blocklist (AQE broadcasts a small list; a huge list
+    shuffles on the same key), then one per-doc groupBy.  No LIKE/non-equi
+    join anywhere, so the plan survives any corpus x blocklist size.
+
+    ``blocked`` must have a ``host`` column.  Emits one row per input doc:
+    (doc_id, host, blocked 1/0, blocked_by = shortest matching suffix or
+    NULL)."""
+    base = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        .alias("host"),
+    )
+    sufs = base.select(
+        id_col,
+        F.explode(F.expr(
+            "transform(sequence(0, size(split(host, '[.]')) - 1), "
+            "i -> array_join(slice(split(host, '[.]'), i + 1, "
+            "size(split(host, '[.]')) - i), '.'))"
+        )).alias("suffix"),
+    )
+    matches = (
+        sufs.join(blocked.select(F.lower(F.col("host")).alias("suffix")),
+                  "suffix")
+        .groupBy(id_col)
+        # shortest matching suffix = the most general blocked parent
+        .agg(F.min_by("suffix", F.length("suffix")).alias("blocked_by"))
+    )
+    return (
+        base.join(matches, id_col, "left")
+        .select(
+            F.col(id_col), "host",
+            F.col("blocked_by").isNotNull().cast("int").alias("blocked"),
+            "blocked_by",
+        )
+    )

@@ -1006,3 +1006,25 @@ def test_extract_outlinks_and_pagerank(spark):
     ranks = host_pagerank(edges_df, iterations=3).collect()
     assert all(r["pagerank"] == round(r["rank_micro"] / 1e6, 6)
                for r in ranks)
+
+
+def test_blocklist_filter(spark):
+    """Parent-domain suffixes block subdomains; blocked_by reports the
+    most general (shortest) matching entry; unrelated hosts pass."""
+    from article_extractor_spark.operators.weburl import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [(0, "https://a.b.example.com/x"),      # blocked via example.com
+         (1, "https://sub.bad.org/y"),          # blocked via bad.org
+         (2, "https://bad.org/z"),              # exact match
+         (3, "https://notbad.org/w"),           # suffix chain never 'bad.org'
+         (4, "https://example.com.evil.net/v")],  # example.com not a suffix
+        "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("example.com",), ("bad.org",), ("b.example.com",)], "host string")
+    rows = {r["doc_id"]: r for r in blocklist_filter(urls, blocked).collect()}
+    assert rows[0]["blocked"] == 1 and rows[0]["blocked_by"] == "example.com"
+    assert rows[1]["blocked"] == 1 and rows[1]["blocked_by"] == "bad.org"
+    assert rows[2]["blocked"] == 1 and rows[2]["blocked_by"] == "bad.org"
+    assert rows[3]["blocked"] == 0 and rows[3]["blocked_by"] is None
+    assert rows[4]["blocked"] == 0
