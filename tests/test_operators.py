@@ -1028,3 +1028,40 @@ def test_blocklist_filter(spark):
     assert rows[2]["blocked"] == 1 and rows[2]["blocked_by"] == "bad.org"
     assert rows[3]["blocked"] == 0 and rows[3]["blocked_by"] is None
     assert rows[4]["blocked"] == 0
+
+
+def test_new_op_plan_shapes(spark):
+    """Pin the scale-critical plan shapes of the late-round operators:
+    classifier inference is a pure projection (zero Exchange); the
+    blocklist join is an equi-join (never nested-loop); decontaminate
+    and PageRank have no cartesian anywhere."""
+    from article_extractor_spark.operators.dedup import decontaminate
+    from article_extractor_spark.operators.linkgraph import (
+        extract_outlinks, host_pagerank)
+    from article_extractor_spark.operators.textstats import classifier_score
+    from article_extractor_spark.operators.weburl import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(i, "some words here to score") for i in range(40)],
+        "doc_id long, text string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange" not in plan(classifier_score(docs)), \
+        plan(classifier_score(docs))[:500]
+
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://h"), F.col("doc_id").cast("string"),
+        F.lit(".example.com/p")).alias("url"))
+    blocked = spark.createDataFrame([("h1.example.com",)], "host string")
+    p = plan(blocklist_filter(urls, blocked))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+    p = plan(decontaminate(docs, docs.limit(5)))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+    pages = urls.select("url", F.lit(
+        '<a href="https://x.com/1">l</a>').alias("html"))
+    p = plan(host_pagerank(extract_outlinks(pages), iterations=2))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
