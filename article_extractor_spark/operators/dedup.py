@@ -216,27 +216,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # same degenerate-bucket cap as minhash_lsh_pairs
     bands = _prune_buckets(
         minhash_band_hashes(shingles, 16, id_col), max_bucket_size=100_000
-    ).cache()
-    # cached: referenced three times below (sa/sb posting restriction +
-    # the final pair filter) — uncached, each reference re-executes the
-    # full minhash-signature lineage (measured ~3x operator cost)
+    )
+    # cached AFTER the size join: both self-join branches read the same
+    # materialization — uncached, each branch re-executes the full
+    # minhash-signature lineage (measured ~3x operator cost)
+    # size-ratio prefilter (LOSSLESS for the threshold): |∩| <= min(na,nb)
+    # and |∪| >= max(na,nb), so jaccard >= t forces min/max >= t — any
+    # candidate pair failing it cannot reach the threshold.  n_shingles
+    # is attached to the |bands| rows BEFORE the self-join (one join of
+    # the band table vs the old two per-side joins against the distinct
+    # pair set), so the filter applies inside the self-join and the
+    # surviving pairs already carry (na, nb).
+    bands = bands.join(sizes, id_col).cache()
     cands = (
         bands.alias("a").join(bands.alias("b"), ["band", "band_hash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(F.least(F.col("a.n_shingles"), F.col("b.n_shingles")) >=
+               F.greatest(F.col("a.n_shingles"), F.col("b.n_shingles"))
+               * F.lit(threshold))
         .select(F.col(f"a.{id_col}").alias("a_id"),
-                F.col(f"b.{id_col}").alias("b_id"))
+                F.col(f"b.{id_col}").alias("b_id"),
+                F.col("a.n_shingles").alias("na"),
+                F.col("b.n_shingles").alias("nb"))
         .distinct()
-    )
-    # size-ratio prefilter (LOSSLESS for the threshold): |∩| <= min(na,nb)
-    # and |∪| >= max(na,nb), so jaccard >= t forces min/max >= t — any
-    # candidate pair failing it cannot reach the threshold and is dropped
-    # BEFORE its postings enter the shingle-keyed intersection join.  The
-    # surviving pairs carry (na, nb), saving the two size re-joins later.
-    za = sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_shingles", "na")
-    zb = sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_shingles", "nb")
-    cands = (
-        cands.join(za, "a_id").join(zb, "b_id")
-        .where(F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold))
         .cache()
     )
 
