@@ -487,6 +487,24 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(docs)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules over a decorated view: every third doc gains
+    a bullet line, every fifth an ellipsis line and a #hashtag, so each
+    rule fires deterministically on part of the corpus."""
+    from article_extractor_spark.operators.textstats import gopher_quality
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("- bullet item")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("trailing thought #tag ...")),
+        ).alias("text"))
+    return gopher_quality(docs)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -847,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "host_pagerank": q_host_pagerank,
         "blocklist_filter": q_blocklist_filter,
+        "gopher_quality": q_gopher_quality,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1532,6 +1551,71 @@ r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
 SELECT host, r AS rank_micro,
        round(CAST(r AS DOUBLE) / 1000000, 6) AS pagerank
 FROM r3
+"""
+
+    from article_extractor_spark.operators.textstats import GOPHER_STOPWORDS
+
+    _stop_lit = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    sql["gopher_quality"] = f"""
+WITH docs AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text,
+                   CASE WHEN doc_id % 3 = 0 THEN '- bullet item' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'trailing thought #tag ...' END) AS t0
+  FROM documents
+),
+d2 AS (SELECT doc_id, coalesce(t0, '') AS t FROM docs),
+feat AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')
+           AS toks,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines,
+         CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS nhash,
+         CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+           AS nell
+  FROM d2
+),
+calc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sumlen,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS BIGINT) AS nalpha,
+         CAST(len(list_filter(toks, t ->
+              list_contains([{_stop_lit}], t))) AS BIGINT) AS n_stopwords,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+              AS BIGINT) AS nbullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+              AS BIGINT) AS nelline,
+         nhash, nell
+  FROM feat
+)
+SELECT doc_id, n_words,
+       round(CASE WHEN n_words > 0
+             THEN CAST(sumlen AS DOUBLE) / n_words ELSE 0.0 END, 6)
+         AS mean_word_len,
+       round(CASE WHEN n_words > 0
+             THEN CAST(nalpha AS DOUBLE) / n_words ELSE 0.0 END, 6)
+         AS frac_alpha_words,
+       round(CASE WHEN n_lines > 0
+             THEN CAST(nbullet AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+         AS frac_bullet_lines,
+       round(CASE WHEN n_lines > 0
+             THEN CAST(nelline AS DOUBLE) / n_lines ELSE 0.0 END, 6)
+         AS frac_ellipsis_lines,
+       n_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND sumlen >= 3 * n_words AND sumlen <= 10 * n_words
+            AND 10 * (nhash + nell) <= n_words
+            AND 10 * nbullet <= 9 * n_lines
+            AND 10 * nelline <= 3 * n_lines
+            AND 5 * nalpha >= 4 * n_words
+            AND n_stopwords >= 2 AS INTEGER) AS keep
+FROM calc
 """
 
     sql["blocklist_filter"] = """

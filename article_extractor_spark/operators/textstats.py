@@ -500,3 +500,83 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
             .alias("planned_docs"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1) — the
+    non-repetition half, completing the pair with
+    :func:`gopher_repetition`:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * (hash + ellipsis occurrences) / words <= 0.1
+      * bullet-starting lines <= 90%, ellipsis-ending lines <= 30%
+      * words containing an alphabetic char >= 80%
+      * >= 2 of the 8 Gopher stop words present
+
+    One zero-shuffle projection.  Every keep threshold is evaluated as
+    an exact INTEGER cross-multiplication (e.g. mean_word_len >= 3 as
+    sum_len >= 3*n_words), so the decision never touches a float; the
+    emitted ratio columns are single exact divisions rounded to 1e-6
+    (NOTES.md oracle policy)."""
+    stop_lit = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    feats = base.select(
+        F.col(id_col),
+        F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')")
+        .alias("_toks"),
+        F.expr("filter(transform(split(_t, '\\n'), l -> trim(l)), "
+               "l -> l <> '')").alias("_lines"),
+        (F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"))))
+        .cast("bigint").alias("_nhash"),
+        ((F.length("_t")
+          - F.length(F.replace(F.col("_t"), F.lit("...")))) / F.lit(3))
+        .cast("bigint").alias("_nell"),
+    )
+    calc = feats.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_words"),
+        F.expr("aggregate(_toks, 0L, (a, t) -> a + length(t))")
+        .cast("bigint").alias("_sumlen"),
+        F.expr("size(filter(_toks, t -> t rlike '[a-z]'))")
+        .cast("bigint").alias("_nalpha"),
+        F.expr(f"size(filter(_toks, t -> t IN ({stop_lit})))")
+        .cast("bigint").alias("n_stopwords"),
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.expr("size(filter(_lines, l -> l rlike '^[-*•]'))")
+        .cast("bigint").alias("_nbullet"),
+        F.expr("size(filter(_lines, l -> l rlike '\\\\.\\\\.\\\\.$'))")
+        .cast("bigint").alias("_nelline"),
+        F.col("_nhash"), F.col("_nell"),
+    )
+
+    def ratio(num, den):
+        return F.round(
+            F.when(F.col(den) > 0,
+                   F.col(num).cast("double") / F.col(den))
+            .otherwise(F.lit(0.0)), 6)
+
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("_sumlen") >= 3 * F.col("n_words"))
+        & (F.col("_sumlen") <= 10 * F.col("n_words"))
+        & (10 * (F.col("_nhash") + F.col("_nell")) <= F.col("n_words"))
+        & (10 * F.col("_nbullet") <= 9 * F.col("n_lines"))
+        & (10 * F.col("_nelline") <= 3 * F.col("n_lines"))
+        & (5 * F.col("_nalpha") >= 4 * F.col("n_words"))
+        & (F.col("n_stopwords") >= 2)
+    )
+    return calc.select(
+        F.col(id_col), "n_words",
+        ratio("_sumlen", "n_words").alias("mean_word_len"),
+        ratio("_nalpha", "n_words").alias("frac_alpha_words"),
+        ratio("_nbullet", "n_lines").alias("frac_bullet_lines"),
+        ratio("_nelline", "n_lines").alias("frac_ellipsis_lines"),
+        "n_stopwords",
+        keep.cast("int").alias("keep"),
+    )

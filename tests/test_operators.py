@@ -1065,3 +1065,27 @@ def test_new_op_plan_shapes(spark):
         '<a href="https://x.com/1">l</a>').alias("html"))
     p = plan(host_pagerank(extract_outlinks(pages), iterations=2))
     assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_gopher_quality(spark):
+    """Hand-checked Gopher quality rules: a clean 50-word doc passes;
+    bullet-dominated, too-short, and NULL docs fail."""
+    from article_extractor_spark.operators.textstats import gopher_quality
+
+    clean = "the and " + "word " * 48          # 50 words, 2 stopwords
+    docs = spark.createDataFrame(
+        [(0, clean),
+         (1, "- the and " + "word " * 48),     # one line, 100% bullet
+         (2, "tiny doc"),                       # < 50 words
+         (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    r0 = rows[0]
+    assert r0["n_words"] == 50
+    assert r0["mean_word_len"] == round((3 + 3 + 48 * 4) / 50, 6)
+    assert r0["frac_alpha_words"] == 1.0 and r0["n_stopwords"] == 2
+    assert r0["keep"] == 1
+    r1 = rows[1]
+    assert r1["frac_bullet_lines"] == 1.0 and r1["keep"] == 0
+    assert rows[2]["n_words"] == 2 and rows[2]["keep"] == 0
+    assert rows[3]["n_words"] == 0 and rows[3]["keep"] == 0
