@@ -505,6 +505,15 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(docs)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token sketch per source + the merged __all__ row;
+    k=64 so the estimation path (not the small-range exact rule) is
+    exercised at sf0.01."""
+    from article_extractor_spark.operators.sketches import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_docs(spark, sf_dir), k=64)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -866,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "blocklist_filter": q_blocklist_filter,
         "gopher_quality": q_gopher_quality,
+        "kmv_distinct": q_kmv_distinct,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1616,6 +1626,49 @@ SELECT doc_id, n_words,
             AND 5 * nalpha >= 4 * n_words
             AND n_stopwords >= 2 AS INTEGER) AS keep
 FROM calc
+"""
+
+    sql["kmv_distinct"] = """
+WITH toks AS (
+  SELECT coalesce(source, 'src0') AS grp, u.tok
+  FROM documents,
+       LATERAL unnest(list_filter(
+         regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+         x -> x <> '')) AS u(tok)
+),
+hashes AS (
+  SELECT DISTINCT grp,
+         cast(concat('0x', substr(md5(tok), 1, 12)) as ubigint)::bigint AS h
+  FROM toks
+),
+exact AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM hashes GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(count(DISTINCT h) AS BIGINT) FROM hashes
+),
+topk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= 64
+),
+all_topk AS (
+  SELECT '__all__' AS grp, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rk
+    FROM (SELECT DISTINCT h FROM hashes)
+  ) WHERE rk <= 64
+),
+sk AS (
+  SELECT grp, max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_kept
+  FROM (SELECT * FROM topk UNION ALL SELECT * FROM all_topk)
+  GROUP BY 1
+)
+SELECT e.grp AS source, e.exact_distinct, s.kth_hash,
+       CAST(CASE WHEN s.n_kept < 64 THEN s.n_kept
+            ELSE (63 * 281474976710656) // s.kth_hash END AS BIGINT)
+         AS est_distinct
+FROM exact e JOIN sk s ON s.grp = e.grp
 """
 
     sql["blocklist_filter"] = """

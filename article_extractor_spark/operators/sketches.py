@@ -1,0 +1,96 @@
+"""Deterministic cardinality sketches for corpus statistics.
+
+KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+48-bit hashes of the values; with h_k the kth smallest hash,
+``D ≈ (k-1) * 2^48 / h_k``.  Chosen over HLL because the estimate is a
+pure function of deterministic md5 hashes and integer division — the
+DuckDB oracle reproduces it bit-for-bit, and two sketches merge by
+taking the k smallest of their union (no re-touching the corpus).
+
+Scale shape: ONE map-side-combined groupBy dedups (group, hash) —
+shuffle volume is the per-input-partition distinct hashes (16-byte
+rows), never token instances — then a two-level k-min: a first
+row_number window over (group, input-split) chunks bounds every sort to
+a partition's local distinct set, and the merge window sees at most
+k x splits rows per group.  The corpus-level ``__all__`` row is built
+from the per-group top-k candidate sets alone (sketch union), not from
+a second corpus pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 48  # 12 hex chars of md5; (k-1)*2^48 fits a bigint
+
+
+def kmv_distinct_tokens(df: DataFrame, text_col: str = "text",
+                        group_col: str = "source",
+                        k: int = 256) -> DataFrame:
+    """Per-group + ``__all__`` distinct-token estimates.
+
+    Emits ``(source, exact_distinct, kth_hash, est_distinct)`` — the
+    exact count rides along from the same deduped set so sketch error is
+    directly visible; when a group has fewer than k distinct hashes the
+    estimate IS the exact count (standard KMV small-range rule)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.coalesce(F.col(group_col), F.lit("src0")).alias("grp"),
+        F.explode(F.expr(
+            f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+            "t -> t <> '')")).alias("tok"),
+    )
+    hashes = (
+        toks.select(
+            "grp",
+            F.expr("cast(conv(substr(md5(tok), 1, 12), 16, 10) as bigint)")
+            .alias("h"))
+        .distinct()  # map-side partial agg dedups before the shuffle
+    )
+    exact = hashes.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    # two-level k-min: local chunks first so no sort ever exceeds one
+    # partition's distinct set, then a bounded merge of k x chunks rows
+    w_local = Window.partitionBy("grp", "pid").orderBy("h")
+    w_merge = Window.partitionBy("grp").orderBy("h")
+    topk = (
+        hashes.withColumn("pid", F.spark_partition_id())
+        .withColumn("rk", F.row_number().over(w_local))
+        .where(F.col("rk") <= k).drop("rk")
+        .withColumn("rk", F.row_number().over(w_merge))
+        .where(F.col("rk") <= k)
+        .select("grp", "h")
+        .cache()
+    )
+    # sketch union: the corpus-wide k smallest are a subset of the union
+    # of per-group k smallest — __all__ never re-reads the corpus
+    all_exact = hashes.select("h").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    ).select(F.lit("__all__").alias("grp"), "exact_distinct")
+    w_all = Window.partitionBy(F.lit(1)).orderBy("h")
+    all_topk = (
+        topk.select("h").distinct()
+        .withColumn("rk", F.row_number().over(w_all))
+        .where(F.col("rk") <= k)
+        .select(F.lit("__all__").alias("grp"), "h")
+    )
+    sk = (
+        topk.unionByName(all_topk)
+        .groupBy("grp")
+        .agg(F.max("h").alias("kth_hash"),
+             F.count(F.lit(1)).cast("bigint").alias("_n_kept"))
+    )
+    est = F.when(
+        F.col("_n_kept") < k, F.col("_n_kept")
+    ).otherwise(
+        F.expr(f"CAST(({k - 1} * CAST({HASH_SPACE} AS BIGINT)) "
+               "DIV kth_hash AS BIGINT)")
+    ).cast("bigint")
+    return (
+        exact.unionByName(all_exact)
+        .join(sk, "grp")
+        .select(F.col("grp").alias(group_col), "exact_distinct",
+                "kth_hash", est.alias("est_distinct"))
+    )

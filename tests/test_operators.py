@@ -1089,3 +1089,37 @@ def test_gopher_quality(spark):
     assert r1["frac_bullet_lines"] == 1.0 and r1["keep"] == 0
     assert rows[2]["n_words"] == 2 and rows[2]["keep"] == 0
     assert rows[3]["n_words"] == 0 and rows[3]["keep"] == 0
+
+
+def test_kmv_distinct_tokens(spark):
+    """KMV sketch matches a Python replication: kth-hash estimate for a
+    large group, exact small-range rule for a tiny group, and the
+    __all__ row built from the merged per-group sketches."""
+    import hashlib
+
+    from article_extractor_spark.operators.sketches import (
+        HASH_SPACE, kmv_distinct_tokens)
+
+    words_a = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, words_a, "a"), (1, "tiny set", "b"), (2, None, "b")],
+        "doc_id long, text string, source string")
+    k = 8
+    rows = {r["source"]: r for r in
+            kmv_distinct_tokens(docs, k=k).collect()}
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+
+    ha = sorted(h(f"w{i}") for i in range(40))
+    kth = ha[k - 1]
+    assert rows["a"]["exact_distinct"] == 40
+    assert rows["a"]["kth_hash"] == kth
+    assert rows["a"]["est_distinct"] == ((k - 1) * HASH_SPACE) // kth
+    # small-range rule: fewer than k distinct -> estimate is exact
+    assert rows["b"]["exact_distinct"] == 2
+    assert rows["b"]["est_distinct"] == 2
+    # __all__ = k smallest of the union of all group hashes
+    hall = sorted(set(ha + [h("tiny"), h("set")]))
+    assert rows["__all__"]["exact_distinct"] == 42
+    assert rows["__all__"]["kth_hash"] == hall[k - 1]
