@@ -1405,7 +1405,7 @@ per AS (
   FROM scored GROUP BY 1
 )
 SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
-       round(coalesce(CAST(p.sq AS DOUBLE) / 1000000 / p.n_tokens, 0.0), 6)
+       coalesce(CAST(p.sq AS DOUBLE) / 1000000 / p.n_tokens, 0.0)
          AS avg_neg_log2p
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
@@ -1489,12 +1489,12 @@ calc AS (
   FROM feat
 )
 SELECT doc_id, n_tokens,
-       round(CASE WHEN n_tokens > 0
-             THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
-             ELSE 0.0 END, 6) AS clf_score,
-       CAST(round(CASE WHEN n_tokens > 0
-             THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
-             ELSE 0.0 END, 6) > CAST(0.0 AS DOUBLE) AS INTEGER) AS keep
+       CASE WHEN n_tokens > 0
+            THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
+            ELSE 0.0 END AS clf_score,
+       CAST(CASE WHEN n_tokens > 0
+            THEN CAST(sq AS DOUBLE) / (100 * n_tokens)
+            ELSE 0.0 END > CAST(0.0 AS DOUBLE) AS INTEGER) AS keep
 FROM calc
 """
 

@@ -370,8 +370,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         .select(
             F.col(id_col),
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.round(F.coalesce(F.col("sq").cast("double") / F.lit(1e6)
-                    / F.col("n_tokens"), F.lit(0.0)), 6)
+            # NOT rounded: successive IEEE divisions of exact operands
+            # are bit-identical across engines; round(,6) diverges on
+            # exact-half quotients (Spark half-up vs DuckDB half-even)
+            F.coalesce(F.col("sq").cast("double") / F.lit(1e6)
+                       / F.col("n_tokens"), F.lit(0.0))
             .alias("avg_neg_log2p"),
         )
     )
@@ -453,10 +456,14 @@ def classifier_score(df: DataFrame, text_col: str = "text",
             f"% {CLF_DIM} + 1 as int)))"
         ).cast("bigint").alias("_sq"),
     )
-    score = F.round(
-        F.when(F.col("n_tokens") > 0,
-               F.col("_sq").cast("double") / (F.lit(100.0) * F.col("n_tokens")))
-        .otherwise(F.lit(0.0)), 6)
+    # NOT rounded: a single IEEE division of exact integer operands is
+    # bit-identical across engines, while round(,6) diverges when the
+    # quotient lands exactly on a half (e.g. -603/9600 = -0.0628125:
+    # Spark half-up vs DuckDB half-even — hit at sf0.1)
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("_sq").cast("double") / (F.lit(100.0) * F.col("n_tokens"))
+    ).otherwise(F.lit(0.0))
     return scored.select(
         F.col(id_col), F.col("n_tokens"),
         score.alias("clf_score"),

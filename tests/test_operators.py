@@ -805,13 +805,12 @@ def test_unigram_logprob(spark):
         [(0, "a a a b"), (1, "c"), (2, "")], "doc_id long, text string")
     rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
 
-    def qv(p):  # the operator's per-instance quantization
-        return round(round(-math.log2(p) * 1e6) / 1e6, 6)
+    def qv(p):  # the operator's per-instance quantization (no final
+        return round(-math.log2(p) * 1e6) / 1e6  # round — IEEE-exact)
 
     total = 5  # a:3 b:1 c:1
-    q = lambda cnt: round(math.log2(total) - math.log2(cnt), 6)
-    exp0 = round((3 * round(-math.log2(3 / 5) * 1e6)
-                  + round(-math.log2(1 / 5) * 1e6)) / 1e6 / 4, 6)
+    exp0 = ((3 * round(-math.log2(3 / 5) * 1e6)
+             + round(-math.log2(1 / 5) * 1e6)) / 1e6) / 4
     assert rows[0]["n_tokens"] == 4
     assert abs(rows[0]["avg_neg_log2p"] - exp0) < 1e-9
     assert rows[1]["avg_neg_log2p"] == qv(1 / 5)
@@ -944,7 +943,7 @@ def test_classifier_score(spark):
         toks = [t for t in text.lower().split() if t]
         s = sum(CLF_WEIGHTS[int(hashlib.md5(t.encode()).hexdigest()[:6], 16)
                             % CLF_DIM] for t in toks)
-        return round(s / (100.0 * len(toks)), 6) if toks else 0.0
+        return s / (100.0 * len(toks)) if toks else 0.0
 
     for d, text in ((0, "the quick brown fox"), (1, "Spark ENGINES ftw")):
         assert rows[d]["clf_score"] == expected(text)
