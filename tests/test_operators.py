@@ -1122,3 +1122,79 @@ def test_kmv_distinct_tokens(spark):
     hall = sorted(set(ha + [h("tiny"), h("set")]))
     assert rows["__all__"]["exact_distinct"] == 42
     assert rows["__all__"]["kth_hash"] == hall[k - 1]
+
+
+def test_blocklist_filter_randomized(spark):
+    """200 random multi-label hosts vs a random suffix blocklist must
+    match a brute-force Python reference (dot-boundary suffix rule)."""
+    import random
+
+    from article_extractor_spark.operators.weburl import blocklist_filter
+
+    rng = random.Random(7)
+    hosts = []
+    for i in range(200):
+        labels = [f"l{rng.randrange(6)}"
+                  for _ in range(rng.randrange(0, 3))]
+        labels += [f"d{rng.randrange(12)}", rng.choice(["com", "org", "net"])]
+        hosts.append(".".join(labels))
+    blocked = set()
+    for h in rng.sample(hosts, 12):
+        parts = h.split(".")
+        i = rng.randrange(len(parts))
+        blocked.add(".".join(parts[i:]))
+    blocked |= {"never.example", "x0.zz"}
+    blocked = sorted(blocked)
+
+    def ref(host):
+        m = [b for b in blocked if host == b or host.endswith("." + b)]
+        return min(m, key=len) if m else None
+
+    urls = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "doc_id long, url string")
+    bdf = spark.createDataFrame([(b,) for b in blocked], "host string")
+    rows = {r["doc_id"]: r for r in blocklist_filter(urls, bdf).collect()}
+    assert len(rows) == 200
+    for i, h in enumerate(hosts):
+        exp = ref(h)
+        assert rows[i]["blocked_by"] == exp, (h, exp, rows[i])
+        assert rows[i]["blocked"] == int(exp is not None)
+
+
+def test_kmv_randomized(spark):
+    """Random 3-source corpus: sketch output must equal an exact Python
+    replication (hash, per-group k-min, union-merged __all__)."""
+    import hashlib
+    import random
+
+    from article_extractor_spark.operators.sketches import (
+        HASH_SPACE, kmv_distinct_tokens)
+
+    rng = random.Random(11)
+    rows_in, by_grp = [], {}
+    for i in range(120):
+        grp = rng.choice(["a", "b", "c"])
+        toks = [f"t{rng.randrange(500)}" for _ in range(rng.randrange(0, 30))]
+        rows_in.append((i, " ".join(toks), grp))
+        by_grp.setdefault(grp, set()).update(toks)
+    k = 16
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in kmv_distinct_tokens(docs, k=k).collect()}
+    all_hashes = set()
+    for grp, toks in by_grp.items():
+        hs = sorted({h(t) for t in toks})
+        all_hashes.update(hs)
+        exp_kth = hs[min(k, len(hs)) - 1]
+        exp_est = (len(hs) if len(hs) < k
+                   else ((k - 1) * HASH_SPACE) // hs[k - 1])
+        assert out[grp]["exact_distinct"] == len(hs)
+        assert out[grp]["kth_hash"] == exp_kth
+        assert out[grp]["est_distinct"] == exp_est
+    hs = sorted(all_hashes)
+    assert out["__all__"]["exact_distinct"] == len(hs)
+    assert out["__all__"]["kth_hash"] == hs[min(k, len(hs)) - 1]
