@@ -514,6 +514,40 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_tokens(_docs(spark, sf_dir), k=64)
 
 
+def q_cdx_roundtrip(spark, sf_dir):
+    """CDX-J index connector round-trip: synthesize one index line per
+    doc (SURT urlkey incl. www-strip, 14-digit timestamp, JSON capture
+    metadata), parse with the connector, emit the typed fields; the
+    oracle derives the expected fields directly from the documents
+    table."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.sources.cdx import parse_cdx_lines, surt_key
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://www."),
+                   F.coalesce("source", F.lit("src0")),
+                   F.lit(".example.com/articles/"),
+                   F.col("doc_id").cast("string"))
+    ts = (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+          + F.make_interval(secs=F.col("doc_id").cast("double")))
+    meta = F.to_json(F.struct(
+        url.alias("url"),
+        F.lit("text/html").alias("mime"),
+        F.lit("200").alias("status"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+        (F.col("doc_id") * 100 + 5).cast("string").alias("length"),
+        (F.col("doc_id") * 1000).cast("string").alias("offset"),
+        F.concat(F.lit("crawl-"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"),
+    ))
+    lines = docs.select(
+        F.concat(surt_key(url), F.lit(" "),
+                 F.date_format(ts, "yyyyMMddHHmmss"), F.lit(" "),
+                 meta).alias("value"))
+    return parse_cdx_lines(lines)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -876,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "gopher_quality": q_gopher_quality,
         "kmv_distinct": q_kmv_distinct,
+        "cdx_roundtrip": q_cdx_roundtrip,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1669,6 +1704,22 @@ SELECT e.grp AS source, e.exact_distinct, s.kth_hash,
             ELSE (63 * 281474976710656) // s.kth_hash END AS BIGINT)
          AS est_distinct
 FROM exact e JOIN sk s ON s.grp = e.grp
+"""
+
+    sql["cdx_roundtrip"] = """
+SELECT
+  'com,example,' || coalesce(source, 'src0') || ')/articles/'
+    || CAST(doc_id AS VARCHAR) AS urlkey,
+  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS capture_ts,
+  'https://www.' || coalesce(source, 'src0') || '.example.com/articles/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  'text/html' AS mime,
+  '200' AS status,
+  md5(CAST(doc_id AS VARCHAR)) AS digest,
+  CAST(doc_id * 100 + 5 AS BIGINT) AS length,
+  CAST(doc_id * 1000 AS BIGINT) AS "offset",
+  'crawl-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS filename
+FROM documents
 """
 
     sql["blocklist_filter"] = """

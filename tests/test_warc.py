@@ -90,3 +90,41 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     assert len(arts) == 1
     assert arts[0]["title"] == "WARC Doc"
     assert "readable words" in arts[0]["text"]
+
+
+def test_cdx_parse_and_surt(spark):
+    """CDX-J lines parse to typed fields; malformed lines yield NULL
+    metadata instead of failing; SURT keys strip www. and reverse
+    labels; gz files read transparently."""
+    import gzip
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.sources.cdx import (parse_cdx_lines,
+                                                     read_cdx, surt_key)
+
+    good = ('com,example,sub)/a/b 20240102030405 '
+            '{"url": "https://sub.example.com/a/b", "mime": "text/html", '
+            '"status": "200", "digest": "d1", "length": "123", '
+            '"offset": "456", "filename": "f.warc.gz"}')
+    lines = spark.createDataFrame(
+        [(good,), ("truncated-line-no-fields",)], "value string")
+    rows = parse_cdx_lines(lines).collect()
+    ok = [r for r in rows if r["urlkey"] == "com,example,sub)/a/b"][0]
+    assert str(ok["capture_ts"]).startswith("2024-01-02 03:04:05")
+    assert ok["url"] == "https://sub.example.com/a/b"
+    assert ok["length"] == 123 and ok["offset"] == 456
+    bad = [r for r in rows if r["urlkey"] != "com,example,sub)/a/b"][0]
+    assert bad["url"] is None and bad["capture_ts"] is None
+
+    surt = spark.createDataFrame(
+        [("https://www.Example.COM/x?q=1",), ("https://a.b.c.org",)],
+        "url string").select(surt_key(F.col("url")).alias("k")).collect()
+    assert surt[0]["k"] == "com,example)/x"
+    assert surt[1]["k"] == "org,c,b,a)/"
+
+    with tempfile.TemporaryDirectory() as d:
+        with gzip.open(f"{d}/part.cdx.gz", "wt") as f:
+            f.write(good + "\n")
+        assert read_cdx(spark, d).count() == 1
