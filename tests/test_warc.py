@@ -128,3 +128,38 @@ def test_cdx_parse_and_surt(spark):
         with gzip.open(f"{d}/part.cdx.gz", "wt") as f:
             f.write(good + "\n")
         assert read_cdx(spark, d).count() == 1
+
+
+def test_cdx_plans_warc_read(spark, tmp_path):
+    """Index-driven archive selection (the 100 TB read-planning path):
+    build a WARC + its CDX-J index, select urls from the INDEX only,
+    then semi-join the WARC read on the selected urls — extracted
+    records equal the index plan exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.sources.cdx import (parse_cdx_lines,
+                                                     surt_key)
+    from article_extractor_spark.sources.warc import build_warc, read_warc
+
+    (tmp_path / "seg-00000.warc").write_bytes(build_warc(PAGES))
+    cdx_lines = []
+    for url, ts, payload in PAGES:
+        key_row = spark.range(1).select(
+            surt_key(F.lit(url)).alias("k")).collect()[0]
+        meta = {"url": url, "mime": "text/html", "status": "200",
+                "digest": "d", "length": str(len(payload)),
+                "offset": "0", "filename": "seg-00000.warc"}
+        ts14 = ts.replace("-", "").replace(":", "")[:14].replace("T", "")
+        cdx_lines.append(f"{key_row['k']} {ts14} {json.dumps(meta)}")
+    idx = parse_cdx_lines(
+        spark.createDataFrame([(l,) for l in cdx_lines], "value string"))
+
+    # plan from the index alone: hosts a/b only, via the SURT key prefix
+    plan = idx.where(F.col("urlkey").rlike("^com,example,[ab]\\)")) \
+              .select("url")
+    got = (read_warc(spark, str(tmp_path))
+           .join(plan, "url", "left_semi").collect())
+    assert sorted(r["url"] for r in got) == [
+        "https://a.example.com/1", "https://b.example.com/2"]
