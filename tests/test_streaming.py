@@ -295,3 +295,36 @@ def test_stream_dedup_first_seen_wins(spark, tmp_path):
     assert {r["url"] for r in got.collect()} == {"u1", "u2", "u3"}
     # first-seen wins: no row carries a 'dup' body
     assert not [r for r in got.collect() if r["body"] == "dup"]
+
+
+def test_stream_curation_filters_match_batch(spark, tmp_path):
+    """The zero-shuffle curation filters (classifier inference + Gopher
+    quality) run unchanged on a file stream: availableNow output is
+    row-identical to the batch run over the same input."""
+    from article_extractor_spark.operators.textstats import (
+        classifier_score, gopher_quality)
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(80).cache())
+    docs.write.mode("append").parquet(in_dir)
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    scored = classifier_score(stream).join(
+        gopher_quality(stream).withColumnRenamed("keep", "g_keep")
+        .select("doc_id", "g_keep"), "doc_id")
+    q = (scored.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).orderBy("doc_id").collect()
+    exp = (classifier_score(docs).join(
+        gopher_quality(docs).withColumnRenamed("keep", "g_keep")
+        .select("doc_id", "g_keep"), "doc_id")
+        .orderBy("doc_id").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    docs.unpersist()
