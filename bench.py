@@ -132,7 +132,11 @@ def main() -> None:
         # total to keep `value` comparable round-over-round)
         "pack_sequences", "line_dedup", "asof_join",
         "gopher_repetition", "unigram_logprob", "url_normalize",
-        "merge_latest")
+        "merge_latest",
+        # late-round-3 additions (informational)
+        "decontaminate", "classifier_score", "mixture_weights",
+        "host_pagerank", "blocklist_filter", "gopher_quality",
+        "kmv_distinct", "cdx_roundtrip")
     for name in suite:
         fn = qs[name]
         best = None
@@ -149,7 +153,10 @@ def main() -> None:
     # round-over-round against r01's query set
     _info = {"extract_narrow", "pack_sequences", "line_dedup", "asof_join",
              "gopher_repetition", "unigram_logprob", "url_normalize",
-             "merge_latest"}
+             "merge_latest",
+             "decontaminate", "classifier_score", "mixture_weights",
+             "host_pagerank", "blocklist_filter", "gopher_quality",
+             "kmv_distinct", "cdx_roundtrip"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
