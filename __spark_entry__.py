@@ -548,6 +548,18 @@ def q_cdx_roundtrip(spark, sf_dir):
     return parse_cdx_lines(lines)
 
 
+def q_png_decode(spark, sf_dir):
+    """REAL image codec through the Arrow path: per doc a deterministic
+    RGB image is encoded to a genuine PNG (stdlib zlib codec, scanline
+    filters cycling per row) and decoded back; the oracle recomputes the
+    dimensions and exact channel sums by formula, so any filter/stride
+    bug in the codec breaks the value match."""
+    from article_extractor_spark.operators.multimodal import \
+        png_roundtrip_stats
+
+    return png_roundtrip_stats(_docs(spark, sf_dir))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -911,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "kmv_distinct": q_kmv_distinct,
         "cdx_roundtrip": q_cdx_roundtrip,
+        "png_decode": q_png_decode,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1704,6 +1717,22 @@ SELECT e.grp AS source, e.exact_distinct, s.kth_hash,
             ELSE (63 * 281474976710656) // s.kth_hash END AS BIGINT)
          AS est_distinct
 FROM exact e JOIN sk s ON s.grp = e.grp
+"""
+
+    sql["png_decode"] = """
+SELECT d.doc_id AS media_id,
+       CAST(d.doc_id % 16 + 4 AS INTEGER) AS width,
+       CAST(d.doc_id % 8 + 3 AS INTEGER) AS height,
+       s.sum_r, s.sum_g, s.sum_b
+FROM documents d, LATERAL (
+  SELECT CAST(sum((x.x * 7 + y.y * 13 + d.doc_id) % 256) AS BIGINT)
+           AS sum_r,
+         CAST(sum((x.x * 3 + y.y * 5 + 2 * d.doc_id) % 256) AS BIGINT)
+           AS sum_g,
+         CAST(sum((x.x + y.y + 3 * d.doc_id) % 256) AS BIGINT) AS sum_b
+  FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
+       unnest(range(d.doc_id % 8 + 3)) AS y(y)
+) s
 """
 
     sql["cdx_roundtrip"] = """

@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata.  The
 Spark-side plumbing — schema, Arrow binary batching through ``mapInPandas``,
-partitioning — is real and tested; the actual codec work is STUBBED
-(image/audio libraries are not available in this container): the "decode"
-derives deterministic pseudo-metadata from the bytes' md5, so results are
-reproducible and oracle-checkable, and :func:`decode_image_real` raises
-``NotImplementedError`` marking where a real codec plugs in."""
+partitioning — is real and tested.  Codec work: PNG is decoded for REAL
+by the pure-stdlib codec (`core/png.py`; see :func:`png_roundtrip_stats`
+for the value-oracled encode→decode path); other formats use the
+deterministic md5 stub (`decode_media` default) with
+:func:`decode_image_real` falling back to PIL when installed and raising
+``NotImplementedError`` otherwise."""
 
 from __future__ import annotations
 
@@ -38,19 +39,28 @@ DECODED_SCHEMA = StructType([
 
 
 def decode_image_real(content: bytes) -> tuple[int, int, int]:
-    """Real decoder entry point: (width, height, n_frames) via PIL when a
-    codec is installed; raises ``NotImplementedError`` in codec-less
-    environments (this container ships no PIL/opencv).  Plugs into
-    :func:`decode_media` via its ``decoder=`` seam — the wiring is proven
-    by ``test_real_codec_seam`` (skipped where PIL is absent)."""
+    """Real decoder entry point: (width, height, n_frames).
+
+    PNG decodes with the pure-stdlib codec (`core/png.py` — zlib
+    inflate + all five scanline filters), so the real path works even
+    in codec-less containers; other formats go through PIL when
+    installed and raise ``NotImplementedError`` otherwise.  Plugs into
+    :func:`decode_media` via its ``decoder=`` seam — the wiring is
+    proven by ``test_real_codec_seam`` and the `png_decode` driver
+    query."""
+    from article_extractor_spark.core.png import PNG_SIGNATURE, decode_png
+
+    if content[:8] == PNG_SIGNATURE:
+        w, h, _ch, _px = decode_png(content)
+        return w, h, 1
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decoding needs PIL/opencv; use the deterministic "
-            "stub (decode_media) for plumbing tests"
+            "non-PNG image decoding needs PIL/opencv; PNG decodes via "
+            "the built-in codec (core/png.py)"
         ) from exc
     with Image.open(io.BytesIO(content)) as im:
         return int(im.width), int(im.height), int(getattr(im, "n_frames", 1))
@@ -224,3 +234,53 @@ def frame_sample(media: DataFrame, decoded: DataFrame, n_frames: int = 4,
         return _frame_sample_batches(batches, n_frames, fps)
 
     return joined.mapInPandas(fn, FRAME_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+])
+
+
+def _png_roundtrip_batches(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    from article_extractor_spark.core.png import decode_png, encode_png
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "width", "height",
+                               "sum_r", "sum_g", "sum_b")}
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            w, h = mid % 16 + 4, mid % 8 + 3
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px += bytes(((x * 7 + y * 13 + mid) % 256,
+                                 (x * 3 + y * 5 + 2 * mid) % 256,
+                                 (x + y + 3 * mid) % 256))
+            # filter cycling (y % 5): every decode filter path runs
+            data = encode_png(w, h, bytes(px), color_type=2,
+                              filter_type=None)
+            dw, dh, _ch, raw = decode_png(data)
+            out["media_id"].append(mid)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["sum_r"].append(sum(raw[0::3]))
+            out["sum_g"].append(sum(raw[1::3]))
+            out["sum_b"].append(sum(raw[2::3]))
+        yield pd.DataFrame(out)
+
+
+def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """REAL codec work through the Arrow batch path: per doc, build a
+    deterministic RGB image, ENCODE it to a genuine PNG (stdlib codec,
+    per-row filter cycling), DECODE it back, and emit dimensions plus
+    exact channel sums.  The oracle recomputes the sums by formula, so
+    any codec bug (filter math, stride, chunking) breaks the value
+    match.  Encoded size is deliberately NOT emitted — zlib output can
+    differ across library builds; pixel math cannot."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return ids.mapInPandas(_png_roundtrip_batches, PNG_STATS_SCHEMA)

@@ -1198,3 +1198,48 @@ def test_kmv_randomized(spark):
     hs = sorted(all_hashes)
     assert out["__all__"]["exact_distinct"] == len(hs)
     assert out["__all__"]["kth_hash"] == hs[min(k, len(hs)) - 1]
+
+
+def test_png_codec_roundtrip():
+    """Pure-stdlib PNG codec: encode/decode round-trips for every color
+    type, size, and scanline filter (incl. per-row cycling); malformed
+    inputs raise ValueError."""
+    import random
+
+    import pytest as _pytest
+
+    from article_extractor_spark.core.png import (PNG_SIGNATURE, decode_png,
+                                                  encode_png)
+
+    rng = random.Random(3)
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        for (w, h) in ((1, 1), (7, 3), (16, 9)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for ft in (0, 1, 2, 3, 4, None):
+                out = decode_png(encode_png(w, h, px, ct, ft))
+                assert out == (w, h, ch, px), (ct, w, h, ft)
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(4, 2, bytes(24), 2, 0)
+    with _pytest.raises(ValueError):
+        decode_png(good[:20])              # truncated mid-chunk
+    assert good[:8] == PNG_SIGNATURE
+
+
+def test_decode_image_real_png_no_pil(spark):
+    """decode_image_real handles PNG without PIL, and plugs into the
+    Arrow decode path via the decoder seam."""
+    from article_extractor_spark.core.png import encode_png
+    from article_extractor_spark.operators.multimodal import (
+        decode_image_real, decode_media)
+
+    png = encode_png(5, 4, bytes(range(60)), 2, None)
+    assert decode_image_real(png) == (5, 4, 1)
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), "image/png")],
+        "media_id long, kind string, content binary, mime string")
+    rows = decode_media(
+        media, decoder=lambda data, kind: decode_image_real(data)).collect()
+    assert rows[0]["width"] == 5 and rows[0]["height"] == 4
+    assert rows[0]["n_frames"] == 1
