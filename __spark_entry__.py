@@ -560,6 +560,16 @@ def q_png_decode(spark, sf_dir):
     return png_roundtrip_stats(_docs(spark, sf_dir))
 
 
+def q_wav_decode(spark, sf_dir):
+    """REAL audio codec through the Arrow path: deterministic 16-bit PCM
+    written to genuine RIFF/WAVE bytes (stdlib wave) and parsed back;
+    oracle recomputes the amplitude stats by formula."""
+    from article_extractor_spark.operators.multimodal import \
+        wav_roundtrip_stats
+
+    return wav_roundtrip_stats(_docs(spark, sf_dir))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -924,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cdx_roundtrip": q_cdx_roundtrip,
         "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1732,6 +1743,21 @@ FROM documents d, LATERAL (
          CAST(sum((x.x + y.y + 3 * d.doc_id) % 256) AS BIGINT) AS sum_b
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
+) s
+"""
+
+    sql["wav_decode"] = """
+SELECT d.doc_id AS media_id,
+       CAST(8000 + (d.doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST(d.doc_id % 64 + 16 AS BIGINT) AS n_samples,
+       CAST(1 AS INTEGER) AS n_channels,
+       s.sum_abs, s.peak
+FROM documents d, LATERAL (
+  SELECT CAST(sum(abs((d.doc_id * 131 + i.i * i.i * 37) % 20001 - 10000))
+              AS BIGINT) AS sum_abs,
+         CAST(max(abs((d.doc_id * 131 + i.i * i.i * 37) % 20001 - 10000))
+              AS INTEGER) AS peak
+  FROM unnest(range(d.doc_id % 64 + 16)) AS i(i)
 ) s
 """
 

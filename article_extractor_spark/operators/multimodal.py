@@ -284,3 +284,61 @@ def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
     differ across library builds; pixel math cannot."""
     ids = docs.select(F.col("doc_id").alias("media_id"))
     return ids.mapInPandas(_png_roundtrip_batches, PNG_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("n_channels", IntegerType()),
+    StructField("sum_abs", LongType()),
+    StructField("peak", IntegerType()),
+])
+
+
+def _wav_roundtrip_batches(batches: Iterator[pd.DataFrame]
+                           ) -> Iterator[pd.DataFrame]:
+    import io
+    import struct
+    import wave
+
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                               "n_channels", "sum_abs", "peak")}
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            rate = 8000 + (mid % 4) * 4000
+            n = mid % 64 + 16
+            # deterministic 16-bit PCM "tone"
+            samples = [((mid * 131 + i * i * 37) % 20001) - 10000
+                       for i in range(n)]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+            data = buf.getvalue()
+            # decode the real RIFF/WAVE bytes back
+            with wave.open(io.BytesIO(data), "rb") as r:
+                assert r.getsampwidth() == 2
+                got = struct.unpack(
+                    f"<{r.getnframes() * r.getnchannels()}h",
+                    r.readframes(r.getnframes()))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(r.getframerate())
+                out["n_samples"].append(len(got))
+                out["n_channels"].append(r.getnchannels())
+                out["sum_abs"].append(sum(abs(s) for s in got))
+                out["peak"].append(max(abs(s) for s in got))
+        yield pd.DataFrame(out)
+
+
+def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """REAL audio codec work (stdlib ``wave``): per doc a deterministic
+    16-bit PCM signal is written to genuine RIFF/WAVE bytes and parsed
+    back; emits rate/length plus exact absolute-amplitude stats that the
+    oracle recomputes by formula — audio decode is no longer a stub for
+    PCM WAV."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return ids.mapInPandas(_wav_roundtrip_batches, WAV_STATS_SCHEMA)

@@ -1243,3 +1243,22 @@ def test_decode_image_real_png_no_pil(spark):
         media, decoder=lambda data, kind: decode_image_real(data)).collect()
     assert rows[0]["width"] == 5 and rows[0]["height"] == 4
     assert rows[0]["n_frames"] == 1
+
+
+def test_wav_roundtrip_stats(spark):
+    """WAV round-trip through the Arrow path: stats equal a direct
+    Python recomputation of the synthesized PCM signal."""
+    from article_extractor_spark.operators.multimodal import \
+        wav_roundtrip_stats
+
+    docs = spark.createDataFrame([(0, "x"), (7, "y")],
+                                 "doc_id long, text string")
+    rows = {r["media_id"]: r for r in wav_roundtrip_stats(docs).collect()}
+    for mid in (0, 7):
+        n = mid % 64 + 16
+        sig = [((mid * 131 + i * i * 37) % 20001) - 10000 for i in range(n)]
+        r = rows[mid]
+        assert r["sample_rate"] == 8000 + (mid % 4) * 4000
+        assert r["n_samples"] == n and r["n_channels"] == 1
+        assert r["sum_abs"] == sum(abs(s) for s in sig)
+        assert r["peak"] == max(abs(s) for s in sig)
