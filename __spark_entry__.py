@@ -570,6 +570,25 @@ def q_wav_decode(spark, sf_dir):
     return wav_roundtrip_stats(_docs(spark, sf_dir))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-span detection over docs where every 20th shares an
+    appended boilerplate passage (longer than k + window - 1 = 31 chars,
+    so winnowing provably selects at least one shared span)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.dedup import dup_spans
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(F.col("doc_id") % 20 == 0,
+                   F.lit(" subscribe to our newsletter for daily updates"
+                         " and offers")).otherwise(F.lit("")),
+        ).alias("text"))
+    return dup_spans(docs, k=24, window=8)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -935,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": q_cdx_roundtrip,
         "png_decode": q_png_decode,
         "wav_decode": q_wav_decode,
+        "dup_spans": q_dup_spans,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1744,6 +1764,49 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["dup_spans"] = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') ||
+         CASE WHEN doc_id % 20 = 0
+              THEN ' subscribe to our newsletter for daily updates'
+                   || ' and offers'
+              ELSE '' END AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) - 23 >= 1 THEN
+           list_transform(range(1, length(t) - 23 + 1),
+             i -> cast(concat('0x',
+                    substr(md5(substr(t, CAST(i AS INTEGER), 24)), 1, 15))
+                  as ubigint)::bigint)
+         ELSE [] END AS hs
+  FROM d
+),
+sel AS (
+  SELECT doc_id, t,
+         CASE WHEN len(hs) >= 1 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(hs) - 8 + 1, 1) + 1),
+             j -> j - 1 + list_position(hs[j:j+7], list_min(hs[j:j+7]))))
+         ELSE [] END AS ps
+  FROM h
+),
+spans AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(p.p AS INTEGER), 24) AS span
+  FROM sel, LATERAL unnest(ps) AS p(p)
+),
+hot AS (
+  SELECT span FROM (SELECT span, count(*) AS c FROM spans GROUP BY 1)
+  WHERE c > 10000
+),
+posts AS (SELECT * FROM spans ANTI JOIN hot USING (span))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM posts a JOIN posts b ON a.span = b.span AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
     sql["wav_decode"] = """

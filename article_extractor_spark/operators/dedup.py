@@ -598,3 +598,60 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
             (ratio >= F.lit(threshold)).cast("int").alias("contaminated"),
         )
     )
+
+
+def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              k: int = 24, window: int = 8,
+              max_span_df: int = 10_000) -> DataFrame:
+    """Cross-document duplicated-span detection — the scalable stand-in
+    for suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): winnowed
+    character k-gram fingerprints select ~2/(window+1) of each document's
+    positions, and the selected k-char spans are joined across documents
+    on the SPAN TEXT itself (the hash only drives selection, so a hash
+    collision can never produce a false pair).  Winnowing guarantees any
+    shared substring of length >= k + window - 1 yields at least one
+    shared selected span, so long duplicated passages cannot be missed.
+
+    Scale shape: per-doc selection is one in-row expression chain (no
+    shuffle); the corpus-wide work is one distinct on (doc, span), a
+    hot-span df cap (boilerplate guard, same role as the jaccard
+    hot-shingle cap), and one span-keyed equi-join with map-side-combined
+    pair counting.  Emits (a_id, b_id, n_shared_spans)."""
+    d = df.select(F.col(id_col),
+                  F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    n_expr = f"length(_t) - {k} + 1"
+    # gram hashes, then leftmost-argmin per winnow window: slice() beyond
+    # the array end truncates in both Spark and DuckDB, and
+    # array_position/list_position return the FIRST (leftmost) match
+    with_hs = d.select(
+        id_col, "_t",
+        F.expr(
+            f"CASE WHEN {n_expr} >= 1 THEN "
+            f"transform(sequence(1, {n_expr}), "
+            f"i -> cast(conv(substr(md5(substr(_t, i, {k})), 1, 15), 16, 10)"
+            f" as bigint)) ELSE array() END").alias("_hs"),
+    )
+    sel = F.expr(
+        f"CASE WHEN size(_hs) >= 1 THEN array_distinct(transform("
+        f"sequence(1, greatest(size(_hs) - {window} + 1, 1)), "
+        f"j -> j - 1 + array_position(slice(_hs, j, {window}), "
+        f"array_min(slice(_hs, j, {window}))))) ELSE array() END")
+    spans = (
+        with_hs.select(
+            id_col,
+            F.explode(sel).alias("_pos"),
+            F.col("_t"))
+        .select(id_col, F.expr(f"substr(_t, _pos, {k})").alias("span"))
+        .distinct()
+    )
+    hot = (spans.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") > max_span_df).select("span"))
+    posts = spans.join(hot, "span", "left_anti")
+    return (
+        posts.withColumnRenamed(id_col, "a_id")
+        .join(posts.withColumnRenamed(id_col, "b_id"), "span")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )

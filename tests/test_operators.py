@@ -1262,3 +1262,27 @@ def test_wav_roundtrip_stats(spark):
         assert r["n_samples"] == n and r["n_channels"] == 1
         assert r["sum_abs"] == sum(abs(s) for s in sig)
         assert r["peak"] == max(abs(s) for s in sig)
+
+
+def test_dup_spans(spark):
+    """Winnow guarantee: docs sharing a substring longer than
+    k + window - 1 must produce a shared-span pair; unrelated docs
+    must not; repeated spans within one doc count once."""
+    from article_extractor_spark.operators.dedup import dup_spans
+
+    shared = "the exact same forty character passage here!"   # 44 chars
+    docs = spark.createDataFrame(
+        [(0, f"unique alpha prologue. {shared} and an alpha tail"),
+         (1, f"other beta intro text.. {shared} plus beta ending"),
+         (2, "completely different content with no overlap at all, "
+             "long enough to produce spans of its own"),
+         (3, f"gamma {shared} {shared} gamma")],   # repeats in one doc
+        "doc_id long, text string")
+    rows = {(r["a_id"], r["b_id"]): r["n_shared_spans"]
+            for r in dup_spans(docs, k=24, window=8).collect()}
+    assert (0, 1) in rows and rows[(0, 1)] >= 1
+    assert (0, 3) in rows and (1, 3) in rows
+    assert not any(2 in pair for pair in rows)
+    # doc 3's duplicated passage may only add DISTINCT span values:
+    # its shared count with 0 can't exceed the span inventory of doc 0
+    assert rows[(0, 3)] <= rows[(0, 1)] + len(shared)
