@@ -136,7 +136,8 @@ def main() -> None:
         # late-round-3 additions (informational)
         "decontaminate", "classifier_score", "mixture_weights",
         "host_pagerank", "blocklist_filter", "gopher_quality",
-        "kmv_distinct", "cdx_roundtrip")
+        "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
+        "dup_spans")
     for name in suite:
         fn = qs[name]
         best = None
@@ -156,7 +157,8 @@ def main() -> None:
              "merge_latest",
              "decontaminate", "classifier_score", "mixture_weights",
              "host_pagerank", "blocklist_filter", "gopher_quality",
-             "kmv_distinct", "cdx_roundtrip"}
+             "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
+             "dup_spans"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
