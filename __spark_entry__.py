@@ -589,6 +589,37 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(docs, k=24, window=8)
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt politeness filtering: even-numbered hosts carry a
+    disallow-all-articles rule plus an allow/disallow TIE on the longer
+    '/articles/2' prefix (allow must win); odd hosts have no rules and
+    exercise the default-allow path."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.weburl import robots_filter
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = spark.range(20).where(F.col("id") % 2 == 0).select(
+        F.concat(F.lit("src"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"))
+    rules = (
+        hosts.select("host", F.lit("disallow").alias("rule"),
+                     F.lit("/articles/").alias("prefix"))
+        .unionByName(hosts.select(
+            "host", F.lit("allow").alias("rule"),
+            F.lit("/articles/2").alias("prefix")))
+        .unionByName(hosts.select(
+            "host", F.lit("disallow").alias("rule"),
+            F.lit("/articles/2").alias("prefix")))
+    )
+    return robots_filter(urls, rules)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -955,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "wav_decode": q_wav_decode,
         "dup_spans": q_dup_spans,
+        "robots_filter": q_robots_filter,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1764,6 +1796,38 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["robots_filter"] = """
+WITH u AS (
+  SELECT doc_id, coalesce(source, 'src0') || '.example.com' AS host,
+         '/articles/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+hosts AS (
+  SELECT 'src' || CAST(t.i AS VARCHAR) || '.example.com' AS host
+  FROM unnest(range(20)) AS t(i) WHERE t.i % 2 = 0
+),
+rules AS (
+  SELECT host, 'disallow' AS rule, '/articles/' AS prefix FROM hosts
+  UNION ALL
+  SELECT host, 'allow', '/articles/2' FROM hosts
+  UNION ALL
+  SELECT host, 'disallow', '/articles/2' FROM hosts
+),
+cand AS (
+  SELECT u.doc_id, r.rule, r.prefix,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY length(r.prefix) DESC, r.rule ASC)
+           AS rk
+  FROM u JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id, u.host, u.path,
+       CAST(coalesce(c.rule, 'allow') = 'allow' AS INTEGER) AS allowed,
+       c.rule AS matched_rule, c.prefix AS matched_prefix
+FROM u LEFT JOIN (SELECT doc_id, rule, prefix FROM cand WHERE rk = 1) c
+  USING (doc_id)
 """
 
     sql["dup_spans"] = """

@@ -140,3 +140,61 @@ def blocklist_filter(df: DataFrame, blocked: DataFrame,
             "blocked_by",
         )
     )
+
+
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """robots.txt crawl-politeness filtering with Google's documented
+    matching semantics: among all rules of the URL's host whose path
+    prefix matches, the LONGEST prefix wins, and on a length tie Allow
+    beats Disallow; a URL with no matching rule is allowed.
+
+    ``rules`` has columns (host, rule, prefix) with rule in
+    ('allow', 'disallow') — the parsed form of per-host robots.txt
+    groups (prefix '' / comment lines dropped by the parser).
+
+    Scale shape: the ONLY join is an equi-join on host — per-host rule
+    counts are small constants, so fan-out is bounded and AQE broadcasts
+    a small rule table; the winner is a per-URL row_number window over
+    that bounded fan-out, then one left join back.  No LIKE-join, no
+    cartesian.  Emits (doc_id, host, path, allowed 1/0, matched_rule,
+    matched_prefix)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+        .alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(
+                F.col(url_col),
+                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1), F.lit("")),
+            F.lit("/")).alias("path"),
+    )
+    cand = (
+        base.join(rules.select(F.lower(F.col("host")).alias("host"),
+                               "rule", "prefix"), "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("prefix").desc(),
+        # tie on length: allow < disallow lexicographically — allow wins
+        F.col("rule").asc(),
+    )
+    best = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, F.col("rule").alias("matched_rule"),
+                F.col("prefix").alias("matched_prefix"))
+    )
+    return (
+        base.join(best, id_col, "left")
+        .select(
+            F.col(id_col), "host", "path",
+            (F.coalesce("matched_rule", F.lit("allow")) == "allow")
+            .cast("int").alias("allowed"),
+            "matched_rule", "matched_prefix",
+        )
+    )

@@ -1286,3 +1286,33 @@ def test_dup_spans(spark):
     # doc 3's duplicated passage may only add DISTINCT span values:
     # its shared count with 0 can't exceed the span inventory of doc 0
     assert rows[(0, 3)] <= rows[(0, 1)] + len(shared)
+
+
+def test_robots_filter(spark):
+    """Google matching semantics: longest prefix wins, Allow beats
+    Disallow on a length tie, no matching rule means allowed."""
+    from article_extractor_spark.operators.weburl import robots_filter
+
+    urls = spark.createDataFrame(
+        [(0, "https://a.com/private/file"),    # longest: disallow /private/
+         (1, "https://a.com/private/ok/x"),    # longer allow overrides
+         (2, "https://a.com/tie/x"),           # equal length: allow wins
+         (3, "https://a.com/other"),           # only '/' disallow... no:
+         (4, "https://b.com/anything"),        # host without rules
+         (5, "https://a.com/")],               # bare path
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/private/"),
+         ("a.com", "allow", "/private/ok/"),
+         ("a.com", "allow", "/tie/"),
+         ("a.com", "disallow", "/tie/")],
+        "host string, rule string, prefix string")
+    rows = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert rows[0]["allowed"] == 0
+    assert rows[0]["matched_prefix"] == "/private/"
+    assert rows[1]["allowed"] == 1
+    assert rows[1]["matched_prefix"] == "/private/ok/"
+    assert rows[2]["allowed"] == 1 and rows[2]["matched_rule"] == "allow"
+    assert rows[3]["allowed"] == 1 and rows[3]["matched_rule"] is None
+    assert rows[4]["allowed"] == 1
+    assert rows[5]["path"] == "/" and rows[5]["allowed"] == 1
