@@ -620,6 +620,29 @@ def q_robots_filter(spark, sf_dir):
     return robots_filter(urls, rules)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization over docs decorated with decomposed
+    sequences (combining acute/diaeresis/ring), a BEL control char, tab
+    and double-space runs — NFC + control strip + whitespace collapse
+    all have real work; oracle mirrors via DuckDB nfc_normalize."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.textstats import normalize_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("  café  ")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit(" über\x07")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 2,
+                   F.lit("\tÅngström")).otherwise(F.lit("")),
+        ).alias("text"))
+    return normalize_text(docs)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -987,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "dup_spans": q_dup_spans,
         "robots_filter": q_robots_filter,
+        "normalize_text": q_normalize_text,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1796,6 +1820,31 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["normalize_text"] = """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 4 = 0 THEN '  cafe' || chr(769) || '  '
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN ' u' || chr(776) || 'ber' || chr(7)
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 2 THEN chr(9) || 'A' || chr(778)
+            || 'ngstro' || chr(776) || 'm' ELSE '' END AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(nfc_normalize(
+           regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                          '', 'g')), '[ \\t]+', ' ', 'g')) AS text_norm
+  FROM d
+)
+SELECT doc_id, text_norm,
+       CAST(text_norm <> t AS INTEGER) AS changed,
+       CAST(length(t) AS BIGINT) AS n_chars_before,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_after
+FROM n
 """
 
     sql["robots_filter"] = """

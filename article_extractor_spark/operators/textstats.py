@@ -587,3 +587,43 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         "n_stopwords",
         keep.cast("int").alias("keep"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode text normalization — the canonicalization stage run before
+    hashing/dedup so visually-identical strings dedup together: strip C0
+    control chars (keeping \\n and \\t), NFC-normalize (UAX #15), then
+    collapse space/tab runs and trim.
+
+    The control strip and whitespace collapse are JVM-side regexes; NFC
+    is the one step Spark has no builtin for, so it runs as an
+    Arrow-batched pandas UDF over ``unicodedata`` — a declared Python
+    step on the normalization path only (the oracle uses DuckDB's
+    ``nfc_normalize``, verified char-identical to Python's UAX #15
+    implementation).  Zero shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    # functional form: the module's `from __future__ import annotations`
+    # makes decorator type hints unresolvable strings
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    stripped = F.regexp_replace(
+        F.col("_t"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    normed = _nfc(stripped)
+    collapsed = F.trim(F.regexp_replace(normed, "[ \\t]+", " "))
+    return base.select(
+        F.col(id_col),
+        collapsed.alias("text_norm"),
+        (collapsed != F.col("_t")).cast("int").alias("changed"),
+        F.length("_t").cast("bigint").alias("n_chars_before"),
+        F.length(collapsed).cast("bigint").alias("n_chars_after"),
+    )

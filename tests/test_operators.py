@@ -1316,3 +1316,23 @@ def test_robots_filter(spark):
     assert rows[3]["allowed"] == 1 and rows[3]["matched_rule"] is None
     assert rows[4]["allowed"] == 1
     assert rows[5]["path"] == "/" and rows[5]["allowed"] == 1
+
+
+def test_normalize_text(spark):
+    """NFC composes combining marks, controls are stripped (keeping
+    newline/tab-as-space), whitespace runs collapse, NULL == ''."""
+    from article_extractor_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, "café and Ångström"),
+         (1, "bell\x07here  double\t\tspaced "),
+         (2, "already clean"),
+         (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert rows[0]["text_norm"] == "café and Ångström"
+    assert rows[0]["changed"] == 1
+    assert rows[0]["n_chars_after"] == rows[0]["n_chars_before"] - 3
+    assert rows[1]["text_norm"] == "bellhere double spaced"
+    assert rows[2]["changed"] == 0 and rows[2]["text_norm"] == "already clean"
+    assert rows[3]["text_norm"] == "" and rows[3]["n_chars_before"] == 0
