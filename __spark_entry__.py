@@ -643,6 +643,20 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(docs)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: every fifth doc is the 'new crawl batch',
+    probed against the remaining corpus as the stored index — new x
+    index join only, never index x index."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.dedup import minhash_probe_pairs
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    index = docs.where(F.col("doc_id") % 5 != 0)
+    return minhash_probe_pairs(new, index, num_bands=16)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -1011,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "robots_filter": q_robots_filter,
         "normalize_text": q_normalize_text,
+        "dedup_incremental": q_dedup_incremental,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1820,6 +1835,17 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["dedup_incremental"] = f"""
+WITH {_SHINGLES_CTE.strip()},
+{_minhash_bands_sql(16)}
+SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands n
+JOIN bands i ON n.band = i.band AND n.band_hash = i.band_hash
+WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+GROUP BY 1, 2
 """
 
     sql["normalize_text"] = """

@@ -655,3 +655,44 @@ def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
+
+
+def minhash_probe_pairs(new_df: DataFrame, index_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_bands: int = 16, shingle_n: int = 3,
+                        max_bucket_size: int = 100_000) -> DataFrame:
+    """Incremental dedup: probe a NEW batch against an existing corpus
+    index — the production shape for a daily crawl folded into a 100 TB
+    corpus, where re-running the corpus self-join per batch would be
+    quadratic in history.  Band signatures for the index side are exactly
+    what :func:`minhash_band_hashes` emits, so a stored index table can
+    be passed straight in; only the (small) new batch computes fresh
+    signatures.
+
+    The join is new x index only (never index x index), keyed on
+    (band, band_hash).  Index buckets above ``max_bucket_size`` are
+    dropped (boilerplate guard) — unlike :func:`_prune_buckets`,
+    singleton index buckets are kept because a probe can still hit them.
+    Returns (new_id, index_id, n_shared_bands)."""
+    from pyspark.sql import Window
+
+    new_bands = minhash_band_hashes(
+        word_shingles(new_df, text_col, id_col, shingle_n),
+        num_bands, id_col)
+    idx_bands = minhash_band_hashes(
+        word_shingles(index_df, text_col, id_col, shingle_n),
+        num_bands, id_col)
+    w = Window.partitionBy("band", "band_hash")
+    idx_bands = (
+        idx_bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    n = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+    i = idx_bands.select(F.col(id_col).alias("index_id"), "band",
+                         "band_hash")
+    return (
+        n.join(i, ["band", "band_hash"])
+        .groupBy("new_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

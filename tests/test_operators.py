@@ -1336,3 +1336,18 @@ def test_normalize_text(spark):
     assert rows[1]["text_norm"] == "bellhere double spaced"
     assert rows[2]["changed"] == 0 and rows[2]["text_norm"] == "already clean"
     assert rows[3]["text_norm"] == "" and rows[3]["n_chars_before"] == 0
+
+
+def test_minhash_probe_pairs(spark, docs):
+    """Probe join is new x index only: the new batch's exact dup in the
+    index is found with every band shared; index-internal dup pairs
+    (0, 1) must NOT appear."""
+    from article_extractor_spark.operators.dedup import minhash_probe_pairs
+
+    new = docs.where(F.col("doc_id") == 1)     # dup of index doc 0
+    index = docs.where(F.col("doc_id") != 1)
+    pairs = {(r["new_id"], r["index_id"]): r["n_shared_bands"]
+             for r in minhash_probe_pairs(new, index,
+                                          num_bands=16).collect()}
+    assert pairs[(1, 0)] == 16
+    assert all(n == 1 for (n, _i) in pairs)    # only the new doc probes
