@@ -137,7 +137,8 @@ def main() -> None:
         "decontaminate", "classifier_score", "mixture_weights",
         "host_pagerank", "blocklist_filter", "gopher_quality",
         "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
-        "dup_spans", "robots_filter", "normalize_text")
+        "dup_spans", "robots_filter", "normalize_text",
+        "dedup_incremental")
     for name in suite:
         fn = qs[name]
         best = None
@@ -158,7 +159,8 @@ def main() -> None:
              "decontaminate", "classifier_score", "mixture_weights",
              "host_pagerank", "blocklist_filter", "gopher_quality",
              "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
-             "dup_spans", "robots_filter", "normalize_text"}
+             "dup_spans", "robots_filter", "normalize_text",
+             "dedup_incremental"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
