@@ -657,6 +657,16 @@ def q_dedup_incremental(spark, sf_dir):
     return minhash_probe_pairs(new, index, num_bands=16)
 
 
+def q_image_phash(spark, sf_dir):
+    """Perceptual average-hash computed from REALLY-decoded PNG pixels
+    (full encode->decode round trip per image); the oracle recomputes
+    the 16-bit hash from the pixel formula with the same exact integer
+    cross-multiplication."""
+    from article_extractor_spark.operators.multimodal import image_phash
+
+    return image_phash(_docs(spark, sf_dir))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -1026,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "normalize_text": q_normalize_text,
         "dedup_incremental": q_dedup_incremental,
+        "image_phash": q_image_phash,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1835,6 +1846,45 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["image_phash"] = """
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id % 16 + 4) AS w, (d.doc_id % 8 + 3) AS h,
+         x.x AS x, y.y AS y,
+         299 * ((x.x * 7 + y.y * 13 + d.doc_id) % 256)
+         + 587 * ((x.x * 3 + y.y * 5 + 2 * d.doc_id) % 256)
+         + 114 * ((x.x + y.y + 3 * d.doc_id) % 256) AS g
+  FROM documents d,
+       LATERAL unnest(range(d.doc_id % 16 + 4)) AS x(x),
+       LATERAL unnest(range(d.doc_id % 8 + 3)) AS y(y)
+),
+tot AS (
+  SELECT doc_id, CAST(sum(g) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS np
+  FROM px GROUP BY 1
+),
+cells AS (
+  SELECT doc_id, (4 * y) // h AS ci, (4 * x) // w AS cj,
+         CAST(sum(g) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS pc
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN c.sc * t.np > t.total * c.pc
+              THEN (CAST(1 AS BIGINT) << CAST(c.ci * 4 + c.cj AS INTEGER))
+              ELSE 0 END) AS BIGINT) AS phash,
+         CAST(sum(CASE WHEN c.sc * t.np > t.total * c.pc THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_bright
+  FROM cells c JOIN tot t USING (doc_id)
+  GROUP BY 1
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.doc_id % 16 + 4 AS INTEGER) AS width,
+       CAST(d.doc_id % 8 + 3 AS INTEGER) AS height,
+       b.phash, b.n_bright
+FROM documents d JOIN bits b ON b.doc_id = d.doc_id
 """
 
     sql["dedup_incremental"] = f"""

@@ -342,3 +342,69 @@ def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
     PCM WAV."""
     ids = docs.select(F.col("doc_id").alias("media_id"))
     return ids.mapInPandas(_wav_roundtrip_batches, WAV_STATS_SCHEMA)
+
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("phash", LongType()),
+    StructField("n_bright", IntegerType()),
+])
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+    from article_extractor_spark.core.png import decode_png, encode_png
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "width", "height",
+                               "phash", "n_bright")}
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            w, h = mid % 16 + 4, mid % 8 + 3
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px += bytes(((x * 7 + y * 13 + mid) % 256,
+                                 (x * 3 + y * 5 + 2 * mid) % 256,
+                                 (x + y + 3 * mid) % 256))
+            dw, dh, _ch, raw = decode_png(
+                encode_png(w, h, bytes(px), color_type=2, filter_type=None))
+            # integer luma per pixel (x1000), from the DECODED bytes
+            cell_sum = [[0] * 4 for _ in range(4)]
+            cell_cnt = [[0] * 4 for _ in range(4)]
+            total = 0
+            for y in range(dh):
+                for x in range(dw):
+                    o = (y * dw + x) * 3
+                    g = (299 * raw[o] + 587 * raw[o + 1]
+                         + 114 * raw[o + 2])
+                    total += g
+                    cell_sum[(4 * y) // dh][(4 * x) // dw] += g
+                    cell_cnt[(4 * y) // dh][(4 * x) // dw] += 1
+            np_ = dw * dh
+            bits = nb = 0
+            for ci in range(4):
+                for cj in range(4):
+                    # exact integer compare: cell mean > global mean
+                    if cell_sum[ci][cj] * np_ > total * cell_cnt[ci][cj]:
+                        bits |= 1 << (ci * 4 + cj)
+                        nb += 1
+            out["media_id"].append(mid)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["phash"].append(bits)
+            out["n_bright"].append(nb)
+        yield pd.DataFrame(out)
+
+
+def image_phash(docs: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REALLY-decoded PNG pixels: 4x4
+    brightness grid vs the global mean, each bit decided by an exact
+    integer cross-multiplication (cell_sum * n_pixels > total *
+    cell_count) so the oracle recomputes the identical hash from the
+    pixel formula.  Equal or near-equal hashes are the standard
+    image-dedup key (exact groupBy, or hamming-bucketed LSH at
+    scale)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return ids.mapInPandas(_phash_batches, PHASH_SCHEMA)

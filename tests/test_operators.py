@@ -1351,3 +1351,36 @@ def test_minhash_probe_pairs(spark, docs):
                                           num_bands=16).collect()}
     assert pairs[(1, 0)] == 16
     assert all(n == 1 for (n, _i) in pairs)    # only the new doc probes
+
+
+def test_image_phash(spark):
+    """The hash equals a direct Python recomputation from the pixel
+    formula (bypassing PNG entirely) — proving the codec round-trip
+    inside the operator is lossless; hash is within 16 bits."""
+    from article_extractor_spark.operators.multimodal import image_phash
+
+    docs = spark.createDataFrame([(3, "x"), (12, "y")],
+                                 "doc_id long, text string")
+    rows = {r["media_id"]: r for r in image_phash(docs).collect()}
+    for mid in (3, 12):
+        w, h = mid % 16 + 4, mid % 8 + 3
+        cs = [[0] * 4 for _ in range(4)]
+        cc = [[0] * 4 for _ in range(4)]
+        total = 0
+        for y in range(h):
+            for x in range(w):
+                g = (299 * ((x * 7 + y * 13 + mid) % 256)
+                     + 587 * ((x * 3 + y * 5 + 2 * mid) % 256)
+                     + 114 * ((x + y + 3 * mid) % 256))
+                total += g
+                cs[(4 * y) // h][(4 * x) // w] += g
+                cc[(4 * y) // h][(4 * x) // w] += 1
+        exp = 0
+        for ci in range(4):
+            for cj in range(4):
+                if cs[ci][cj] * (w * h) > total * cc[ci][cj]:
+                    exp |= 1 << (ci * 4 + cj)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["phash"] == exp and 0 <= r["phash"] < (1 << 16)
+        assert r["n_bright"] == bin(exp).count("1")
