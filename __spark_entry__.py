@@ -667,6 +667,38 @@ def q_image_phash(spark, sf_dir):
     return image_phash(_docs(spark, sf_dir))
 
 
+def q_robots_end_to_end(spark, sf_dir):
+    """Full robots path: per-host robots.txt BODIES (comments, a
+    non-matching badbot group, a matching * group) are parsed by
+    parse_robots_txt, then matched by robots_filter; the oracle derives
+    the expected parsed rules by construction and applies the same
+    match logic."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.weburl import (parse_robots_txt,
+                                                          robots_filter)
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    body = ("# crawler rules\n"
+            "User-agent: badbot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /articles/\n"
+            "Allow: /articles/2\n"
+            "Disallow:\n")          # empty value -> no rule
+    robots = spark.range(20).where(F.col("id") % 2 == 0).select(
+        F.concat(F.lit("src"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit(body).alias("content"))
+    return robots_filter(urls, parse_robots_txt(robots))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -1037,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "dedup_incremental": q_dedup_incremental,
         "image_phash": q_image_phash,
+        "robots_end_to_end": q_robots_end_to_end,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1846,6 +1879,36 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["robots_end_to_end"] = """
+WITH u AS (
+  SELECT doc_id, coalesce(source, 'src0') || '.example.com' AS host,
+         '/articles/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+hosts AS (
+  SELECT 'src' || CAST(t.i AS VARCHAR) || '.example.com' AS host
+  FROM unnest(range(20)) AS t(i) WHERE t.i % 2 = 0
+),
+rules AS (
+  SELECT host, 'disallow' AS rule, '/articles/' AS prefix FROM hosts
+  UNION ALL
+  SELECT host, 'allow', '/articles/2' FROM hosts
+),
+cand AS (
+  SELECT u.doc_id, r.rule, r.prefix,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY length(r.prefix) DESC, r.rule ASC)
+           AS rk
+  FROM u JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id, u.host, u.path,
+       CAST(coalesce(c.rule, 'allow') = 'allow' AS INTEGER) AS allowed,
+       c.rule AS matched_rule, c.prefix AS matched_prefix
+FROM u LEFT JOIN (SELECT doc_id, rule, prefix FROM cand WHERE rk = 1) c
+  USING (doc_id)
 """
 
     sql["image_phash"] = """

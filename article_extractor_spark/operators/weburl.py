@@ -198,3 +198,61 @@ def robots_filter(df: DataFrame, rules: DataFrame,
             "matched_rule", "matched_prefix",
         )
     )
+
+
+ROBOTS_SCHEMA = ("host string, rule string, prefix string")
+
+
+def parse_robots_txt(robots: DataFrame, host_col: str = "host",
+                     content_col: str = "content",
+                     agent: str = "*") -> DataFrame:
+    """Parse per-host robots.txt bodies into the (host, rule, prefix)
+    table :func:`robots_filter` consumes.
+
+    Standard group semantics: ``User-agent:`` lines open a group (
+    consecutive agent lines share one group); ``Allow:``/``Disallow:``
+    lines belong to the most recent group; only groups naming ``agent``
+    (or ``*``) contribute; comments (#) and blank values are dropped
+    (an empty Disallow means "allow all" and yields NO rule, per the
+    spec).  Matching itself — longest prefix, Allow wins ties — lives
+    in :func:`robots_filter`.
+
+    Runs as an Arrow-batched ``mapInPandas`` (robots.txt is an
+    irregular line format; one body is a few KB, one row per host —
+    the Python step is linear in robots bytes, not corpus bytes)."""
+    import pandas as pd
+
+    def parse_one(host: str, content: str):
+        rules = []
+        in_group = False          # current group applies to `agent`
+        last_was_agent = False
+        for raw in (content or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not last_was_agent:
+                    in_group = False
+                in_group = in_group or value == agent or value == "*"
+                last_was_agent = True
+                continue
+            last_was_agent = False
+            if field in ("allow", "disallow") and in_group and value:
+                rules.append((host, field, value))
+        return rules
+
+    def batches(it):
+        for pdf in it:
+            rows = {"host": [], "rule": [], "prefix": []}
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                for h, r, p in parse_one(host, content):
+                    rows["host"].append(h)
+                    rows["rule"].append(r)
+                    rows["prefix"].append(p)
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, content_col).mapInPandas(
+        batches, ROBOTS_SCHEMA)

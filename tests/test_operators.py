@@ -1384,3 +1384,25 @@ def test_image_phash(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["phash"] == exp and 0 <= r["phash"] < (1 << 16)
         assert r["n_bright"] == bin(exp).count("1")
+
+
+def test_parse_robots_txt(spark):
+    """Group tracking: consecutive agent lines share a group, a new
+    agent line after rules opens a fresh group, non-matching groups
+    contribute nothing, comments and empty Disallow are dropped."""
+    from article_extractor_spark.operators.weburl import parse_robots_txt
+
+    body = ("User-agent: badbot\n"
+            "Disallow: /\n"
+            "User-agent: googlebot\n"
+            "User-agent: *\n"          # shares group with googlebot
+            "Disallow: /private/  # inline comment\n"
+            "Allow: /private/ok\n"
+            "Disallow:\n"              # empty -> no rule
+            "User-agent: otherbot\n"   # new group, not us
+            "Disallow: /also-not-us\n")
+    robots = spark.createDataFrame([("a.com", body)],
+                                   "host string, content string")
+    rules = {(r["rule"], r["prefix"])
+             for r in parse_robots_txt(robots).collect()}
+    assert rules == {("disallow", "/private/"), ("allow", "/private/ok")}
