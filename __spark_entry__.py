@@ -699,6 +699,17 @@ def q_robots_end_to_end(spark, sf_dir):
     return robots_filter(urls, parse_robots_txt(robots))
 
 
+def q_audio_frames(spark, sf_dir):
+    """Frame-level audio energy over really-decoded WAV: exact integer
+    sum-of-squares per 16-sample frame, unrounded RMS (sqrt of an exact
+    quotient), integer-exact silence flag; oracle recomputes all three
+    from the signal formula."""
+    from article_extractor_spark.operators.multimodal import \
+        audio_frame_stats
+
+    return audio_frame_stats(_docs(spark, sf_dir))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 cleanliness filters over a line-structured view: one terminal-
     punctuated line (text + '.'), one unpunctuated short line, plus a
@@ -1070,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "image_phash": q_image_phash,
         "robots_end_to_end": q_robots_end_to_end,
+        "audio_frames": q_audio_frames,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1879,6 +1891,32 @@ FROM documents d, LATERAL (
   FROM unnest(range(d.doc_id % 16 + 4)) AS x(x),
        unnest(range(d.doc_id % 8 + 3)) AS y(y)
 ) s
+"""
+
+    sql["audio_frames"] = """
+WITH fr AS (
+  SELECT d.doc_id, t.f AS frame_idx, (d.doc_id % 64 + 16) AS n
+  FROM documents d,
+       LATERAL unnest(range((d.doc_id % 64 + 16 + 15) // 16)) AS t(f)
+),
+v AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         ((fr.doc_id * 131 + i.i * i.i * 37) % 20001 - 10000) AS s
+  FROM fr,
+       LATERAL unnest(range(fr.frame_idx * 16,
+                            least((fr.frame_idx + 1) * 16, fr.n))) AS i(i)
+),
+agg AS (
+  SELECT doc_id, frame_idx,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(s * s) AS BIGINT) AS ssq
+  FROM v GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       n_samples, ssq,
+       sqrt(CAST(ssq AS DOUBLE) / n_samples) AS rms,
+       CAST(ssq < 3000 * 3000 * n_samples AS INTEGER) AS silent
+FROM agg
 """
 
     sql["robots_end_to_end"] = """

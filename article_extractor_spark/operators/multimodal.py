@@ -17,8 +17,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -408,3 +408,65 @@ def image_phash(docs: DataFrame) -> DataFrame:
     scale)."""
     ids = docs.select(F.col("doc_id").alias("media_id"))
     return ids.mapInPandas(_phash_batches, PHASH_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("ssq", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("silent", IntegerType()),
+])
+
+
+def _audio_frame_batches(frame_len: int, silence_rms: int):
+    import io
+    import math
+    import struct
+    import wave
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "n_samples",
+                                   "ssq", "rms", "silent")}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rate = 8000 + (mid % 4) * 4000
+                n = mid % 64 + 16
+                samples = [((mid * 131 + i * i * 37) % 20001) - 10000
+                           for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                with wave.open(io.BytesIO(buf.getvalue()), "rb") as r:
+                    got = struct.unpack(
+                        f"<{r.getnframes()}h", r.readframes(r.getnframes()))
+                for f in range((len(got) + frame_len - 1) // frame_len):
+                    fr = got[f * frame_len:(f + 1) * frame_len]
+                    ssq = sum(s * s for s in fr)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["n_samples"].append(len(fr))
+                    out["ssq"].append(ssq)
+                    out["rms"].append(math.sqrt(ssq / len(fr)))
+                    out["silent"].append(
+                        int(ssq < silence_rms * silence_rms * len(fr)))
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def audio_frame_stats(docs: DataFrame, frame_len: int = 16,
+                      silence_rms: int = 3000) -> DataFrame:
+    """Frame-level energy analysis over REALLY-decoded PCM WAV — the
+    VAD / silence-trimming building block: per frame the exact integer
+    sum of squares, the RMS (sqrt of an exact quotient: IEEE-identical
+    across engines, emitted UNROUNDED per the oracle float policy), and
+    an integer-exact silence flag (ssq < rms_thresh^2 * n)."""
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return ids.mapInPandas(
+        _audio_frame_batches(frame_len, silence_rms), AUDIO_FRAMES_SCHEMA)

@@ -138,7 +138,7 @@ def main() -> None:
         "host_pagerank", "blocklist_filter", "gopher_quality",
         "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
         "dup_spans", "robots_filter", "normalize_text",
-        "dedup_incremental", "image_phash", "robots_end_to_end")
+        "dedup_incremental", "image_phash", "robots_end_to_end", "audio_frames")
     for name in suite:
         fn = qs[name]
         best = None
@@ -160,7 +160,7 @@ def main() -> None:
              "host_pagerank", "blocklist_filter", "gopher_quality",
              "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
              "dup_spans", "robots_filter", "normalize_text",
-             "dedup_incremental", "image_phash", "robots_end_to_end"}
+             "dedup_incremental", "image_phash", "robots_end_to_end", "audio_frames"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,

@@ -1406,3 +1406,25 @@ def test_parse_robots_txt(spark):
     rules = {(r["rule"], r["prefix"])
              for r in parse_robots_txt(robots).collect()}
     assert rules == {("disallow", "/private/"), ("allow", "/private/ok")}
+
+
+def test_audio_frame_stats(spark):
+    """Per-frame energy equals a direct recomputation from the signal
+    formula; partial last frame kept; silence flag integer-exact."""
+    import math
+
+    from article_extractor_spark.operators.multimodal import \
+        audio_frame_stats
+
+    docs = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    rows = sorted(audio_frame_stats(docs).collect(),
+                  key=lambda r: r["frame_idx"])
+    mid, n = 5, 5 % 64 + 16                     # 21 samples -> frames 16+5
+    sig = [((mid * 131 + i * i * 37) % 20001) - 10000 for i in range(n)]
+    assert [r["n_samples"] for r in rows] == [16, 5]
+    for f, r in enumerate(rows):
+        fr = sig[f * 16:(f + 1) * 16]
+        ssq = sum(s * s for s in fr)
+        assert r["ssq"] == ssq
+        assert r["rms"] == math.sqrt(ssq / len(fr))
+        assert r["silent"] == int(ssq < 3000 * 3000 * len(fr))
