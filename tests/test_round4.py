@@ -1,0 +1,227 @@
+"""Round-4 additions: baseline-JPEG codec, YUV4MPEG2 container, the
+single-pass winnow rewrite, duplicated-span interval merging, and the
+recall gate."""
+import random
+
+import pytest
+from pyspark.sql import SparkSession
+
+from article_extractor_spark.core.jpeg import (decode_jpeg_gray,
+                                               encode_jpeg_gray)
+from article_extractor_spark.core.y4m import decode_y4m, encode_y4m
+from article_extractor_spark.operators.dedup import _winnow_positions
+
+
+# --------------------------------------------------------------- JPEG
+
+def _const_block_image(mid):
+    w, h = 16 + (mid % 2) * 8, 16
+    px = bytearray(w * h)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (mid * 7 + bx * 31 + by * 17) % 256
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                for x in range(8):
+                    px[row + x] = v
+    return w, h, bytes(px)
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    for mid in (0, 1, 7, 42, 199, 255):
+        w, h, px = _const_block_image(mid)
+        dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+        assert (dw, dh) == (w, h)
+        assert out == px
+
+
+def test_jpeg_general_content_lossy_but_close():
+    rng = random.Random(7)
+    w, h = 24, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h)
+    mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert 0 < mae < 12  # lossy (DCT quant), but a working codec
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    rng = random.Random(11)
+    w, h = 21, 13  # forces edge replication on encode, clipping on decode
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h) and len(out) == w * h
+
+
+def test_jpeg_smooth_gradient_high_fidelity():
+    # low-frequency content should survive almost unharmed
+    w, h = 32, 32
+    px = bytes((x + y) * 2 % 256 for y in range(h) for x in range(w))
+    _, _, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert mae < 6
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG not a jpeg")
+    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive) — must be refused,
+    # not silently mis-decoded
+    w, h, px = _const_block_image(3)
+    data = bytearray(encode_jpeg_gray(w, h, px))
+    data[data.index(b"\xFF\xC0")  + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    # strongly varying DC path: values chosen to span several magnitude
+    # categories so DC diffs exercise multi-bit Huffman codes
+    w, h = 40, 8
+    vals = [0, 255, 8, 240, 120]
+    px = bytearray(w * h)
+    for bx, v in enumerate(vals):
+        for y in range(8):
+            for x in range(8):
+                px[y * w + bx * 8 + x] = v
+    _, _, out = decode_jpeg_gray(encode_jpeg_gray(w, h, bytes(px)))
+    assert out == bytes(px)
+
+
+# --------------------------------------------------------------- Y4M
+
+def test_y4m_c444_roundtrip():
+    w, h = 12, 6
+    frames = []
+    for f in range(3):
+        y = bytes((x + 2 * yy + 3 * f) % 256
+                  for yy in range(h) for x in range(w))
+        cb = bytes((2 * x + yy + f) % 256
+                   for yy in range(h) for x in range(w))
+        cr = bytes((x + yy + 2 * f) % 256
+                   for yy in range(h) for x in range(w))
+        frames.append((y, cb, cr))
+    dw, dh, fps, cs, out = decode_y4m(
+        encode_y4m(w, h, frames, (30, 1), "C444"))
+    assert (dw, dh, fps, cs) == (w, h, (30, 1), "C444")
+    assert out == frames
+
+
+def test_y4m_c420_plane_geometry():
+    w, h = 10, 6
+    cw, ch = 5, 3
+    fr = [(bytes(w * h), bytes(range(cw * ch)), bytes(cw * ch))]
+    out = decode_y4m(encode_y4m(w, h, fr, (25, 1), "C420jpeg"))
+    assert out[4] == fr
+
+
+def test_y4m_header_param_order_and_extensions():
+    # parameters may appear in any order; X-params must be skipped
+    raw = (b"YUV4MPEG2 C444 Xcustom=1 F24:1 H2 W3 Ip A1:1\n"
+           b"FRAME\n" + bytes(6) + bytes(6) + bytes(6))
+    w, h, fps, cs, frames = decode_y4m(raw)
+    assert (w, h, fps, cs) == (3, 2, (24, 1), "C444")
+    assert len(frames) == 1
+
+
+def test_y4m_truncated_frame_raises():
+    w, h = 4, 2
+    data = encode_y4m(w, h, [(bytes(8), bytes(8), bytes(8))])
+    with pytest.raises(ValueError):
+        decode_y4m(data[:-3])
+    with pytest.raises(ValueError):
+        decode_y4m(b"MJPG nope")
+
+
+# ------------------------------------------------- winnow equivalence
+
+def _winnow_reference(t, k, window):
+    """Direct transliteration of the PRE-round-4 Catalyst chain:
+    per window j, leftmost position of the window minimum."""
+    from hashlib import md5
+    n = len(t) - k + 1
+    if n < 1:
+        return []
+    hs = [int(md5(t[i:i + k].encode("utf-8")).hexdigest()[:15], 16)
+          for i in range(n)]
+    sel = set()
+    for j in range(max(n - window + 1, 1)):
+        win = hs[j:j + window]
+        sel.add(j + win.index(min(win)))
+    return sorted(sel)
+
+
+def test_winnow_matches_reference_semantics():
+    rng = random.Random(42)
+    alphabet = "abcab é"  # tiny alphabet forces hash ties + non-ASCII
+    for trial in range(200):
+        n = rng.randrange(0, 60)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        for k, w in ((3, 4), (5, 8), (24, 8)):
+            assert _winnow_positions(t, k, w) == _winnow_reference(t, k, w), (
+                t, k, w)
+
+
+def test_winnow_guarantee_shared_substring_detected():
+    # any shared substring of length >= k + window - 1 must yield at
+    # least one shared selected span
+    rng = random.Random(9)
+    k, w = 8, 4
+    shared = "THE-COMMON-BOILERPLATE-PASSAGE"  # len 30 >= 8+4-1
+    for _ in range(20):
+        a = "".join(rng.choice("xyz") for _ in range(40)) + shared
+        b = shared + "".join(rng.choice("uvw") for _ in range(40))
+        spans_a = {a[i:i + k] for i in _winnow_positions(a, k, w)}
+        spans_b = {b[i:i + k] for i in _winnow_positions(b, k, w)}
+        assert spans_a & spans_b
+
+
+# ------------------------------------------- interval merge (Spark)
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-r4-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_dup_span_ranges_merges_intervals(spark):
+    from article_extractor_spark.operators.dedup import dup_span_ranges
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND MORE"
+    rows = [
+        (1, "unique prefix one   " + boiler),
+        (2, "another beginning " + boiler + " trailing tail two"),
+        (3, "totally unrelated text with no duplicate passage at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in dup_span_ranges(df, k=8, window=4).collect()}
+    docs = {d for d, _, _ in got}
+    assert docs == {1, 2}
+    # each doc's merged range must lie inside the boilerplate region and
+    # intervals within a doc must not overlap
+    for rows_doc in (1, 2):
+        ivs = sorted((s, e) for d, s, e in got if d == rows_doc)
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1
+    text1 = rows[0][1]
+    start1 = text1.index(boiler) + 1
+    for d, s, e in got:
+        if d == 1:
+            assert s >= start1 and e <= len(text1)
+
+
+def test_ann_recall_counts_bounded(spark):
+    import __spark_entry__ as entry
+
+    out = entry.q_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    assert {r.method for r in out} == {"lsh", "ivf_refined"}
+    assert all(0 <= r.n_hits <= r.k_total == 5 for r in out)
+    assert len(out) == 6  # 3 queries x 2 methods
