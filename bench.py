@@ -23,8 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # AES_MASTER overrides the master URL — used by the scaling scripts to
+    # run the SAME bench under local-cluster[E,C,M] (E separate executor
+    # JVMs with real netty shuffle/broadcast, the closest in-sandbox model
+    # of E machines); `cpus` still sizes shuffle partitions.
+    master = os.environ.get("AES_MASTER", f"local[{cpus}]")
+    repo = os.path.dirname(os.path.abspath(__file__))
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
+        # separate executor JVMs (local-cluster) spawn their own Python
+        # workers, which don't inherit the driver's sys.path — the
+        # single-box analog of `spark-submit --py-files` in the north rule
+        .config("spark.executorEnv.PYTHONPATH", repo)
+        # Extraction tasks are uniform Arrow-batch maps over small cached/
+        # shuffle blocks: waiting the default 3s for a data-local slot
+        # serializes the task tail once executors finish unevenly (measured
+        # on local-cluster[4,8]: narrow throughput 7.7k -> 10.6k docs/s
+        # with wait=0).  Remote fetch of a ~few-MB block is microseconds on
+        # a cluster fabric; schedule immediately.
+        .config("spark.locality.wait", "0")
         .appName("aes-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -138,7 +155,11 @@ def main() -> None:
         "host_pagerank", "blocklist_filter", "gopher_quality",
         "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
         "dup_spans", "robots_filter", "normalize_text",
-        "dedup_incremental", "image_phash", "robots_end_to_end", "audio_frames")
+        "dedup_incremental", "image_phash", "robots_end_to_end",
+        "audio_frames",
+        # round-4 additions (informational)
+        "dup_span_ranges", "ann_recall", "golden_parity",
+        "jpeg_decode", "video_frames")
     for name in suite:
         fn = qs[name]
         best = None
@@ -160,7 +181,10 @@ def main() -> None:
              "host_pagerank", "blocklist_filter", "gopher_quality",
              "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
              "dup_spans", "robots_filter", "normalize_text",
-             "dedup_incremental", "image_phash", "robots_end_to_end", "audio_frames"}
+             "dedup_incremental", "image_phash", "robots_end_to_end",
+             "audio_frames",
+             "dup_span_ranges", "ann_recall", "golden_parity",
+             "jpeg_decode", "video_frames"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
