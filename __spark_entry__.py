@@ -612,6 +612,15 @@ def q_dup_span_ranges(spark, sf_dir):
     return dup_span_ranges(_span_docs(spark, sf_dir), k=24, window=8)
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """End-to-end substring-dedup removal: duplicated intervals are CUT
+    from each doc by JVM-side gap stitching; emits cleaned-text stats
+    (md5, lengths) so the oracle verifies the exact surgery."""
+    from article_extractor_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_span_docs(spark, sf_dir), k=24, window=8)
+
+
 def q_ann_recall(spark, sf_dir):
     """Retrieval QUALITY as a driver gate: recall@5 hit counts of the
     LSH multi-probe and refined-IVF paths against the brute-force
@@ -719,6 +728,85 @@ def q_golden_parity(spark, sf_dir):
     return (df.repartition(32, "fixture")
             .mapInPandas(fn, "fixture string, expected_md5 string, "
                              "extracted_md5 string, parity int"))
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hub/authority over the same host link graph as
+    host_pagerank (max-normalized integer quantization, 2 iterations)."""
+    from article_extractor_spark.operators.linkgraph import (extract_outlinks,
+                                                             host_hits)
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "concat('<p><a href=\"https://src', "
+            "CAST((doc_id * 7 + 1) % 20 AS STRING), "
+            "'.example.com/a/', CAST(doc_id AS STRING), '\">x</a>', "
+            "'<a href=\"https://src', CAST((doc_id * 7 + 3) % 20 AS STRING), "
+            "'.example.com/b\">y</a>', "
+            "'<a href=\"/relative\">rel</a>', "
+            "'<a href=\"https://', coalesce(source, 'src0'), "
+            "'.example.com/self\">self</a></p>')").alias("html"))
+    return host_hits(extract_outlinks(pages), iterations=2)
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom pre-join membership probe: per-doc hosts tested against a
+    filter built from every 9th host plus ten never-seen members;
+    emits (host, in_bloom, is_member) so false positives are counted
+    and false negatives provably absent."""
+    from article_extractor_spark.operators.sketches import bloom_membership
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.lit("d"), F.col("doc_id").cast("string"),
+                    F.lit(".example.com")).alias("host")
+    hosts = docs.select(host)
+    members = (docs.where(F.col("doc_id") % 9 == 0).select(host)
+               .unionByName(spark.range(10).select(
+                   F.concat(F.lit("missing"), F.col("id").cast("string"),
+                            F.lit(".test")).alias("host"))))
+    return bloom_membership(hosts, members, m_bits=1024, k=4)
+
+
+def q_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary chunking into fixed character budgets (the
+    training-window prep between cleaning and packing)."""
+    from article_extractor_spark.operators.textstats import sentence_chunks
+
+    return sentence_chunks(_docs(spark, sf_dir), chunk_chars=120)
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL interchange roundtrip: each doc serialized to a JSON line
+    (nested meta struct + stats array) and parsed back with an explicit
+    schema — losslessness is what the oracle checks (file-based
+    read/write of the same shape is covered by pytest with real shards).
+    """
+    from article_extractor_spark.sources.jsonl import (docs_to_jsonl,
+                                                       jsonl_to_docs)
+
+    docs = _docs(spark, sf_dir)
+    parsed = jsonl_to_docs(docs_to_jsonl(docs).select("line"))
+    return parsed.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("text_len").cast("bigint").alias("text_len"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog per-source + __all__ distinct-token sketch: exact
+    integer registers (bucket max-rho) and harmonic term; the classic
+    fixed-size streaming-cardinality complement to KMV."""
+    from article_extractor_spark.operators.sketches import \
+        hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs(spark, sf_dir))
 
 
 def q_jpeg_decode(spark, sf_dir):
@@ -1217,8 +1305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # --- new in round 4 ---
         "dup_span_ranges": q_dup_span_ranges,
+        "dup_span_removal": q_dup_span_removal,
         "ann_recall": q_ann_recall,
         "golden_parity": q_golden_parity,
+        "hll_distinct": q_hll_distinct,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sentence_chunks": q_sentence_chunks,
+        "bloom_filter": q_bloom_filter,
+        "host_hits": q_host_hits,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3187,6 +3281,52 @@ SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
 FROM isl2 GROUP BY doc_id, g
 """
 
+    # removal application: reuses the ranges oracle verbatim as a
+    # subquery, then stitches the kept gaps back together with
+    # lag-window substrings + ordered string_agg — byte-exact surgery
+    sql["dup_span_removal"] = f"""
+WITH ranges AS (SELECT * FROM ({sql['dup_span_ranges']}) tr),
+d2 AS (
+  SELECT doc_id, coalesce(text, '') ||
+         CASE WHEN doc_id % 20 = 0
+              THEN ' subscribe to our newsletter for daily updates'
+                   || ' and offers'
+              ELSE '' END AS t
+  FROM documents
+),
+pieces AS (
+  SELECT r.doc_id, r.span_start AS ord,
+         substr(d.t,
+                CAST(coalesce(lag(r.span_end) OVER
+                       (PARTITION BY r.doc_id ORDER BY r.span_start), 0)
+                     + 1 AS INTEGER),
+                CAST(r.span_start - coalesce(lag(r.span_end) OVER
+                       (PARTITION BY r.doc_id ORDER BY r.span_start), 0)
+                     - 1 AS INTEGER)) AS piece
+  FROM ranges r JOIN d2 d USING (doc_id)
+  UNION ALL
+  SELECT r.doc_id, 2147483647 AS ord,
+         substr(d.t, CAST(max(r.span_end) + 1 AS INTEGER)) AS piece
+  FROM ranges r JOIN d2 d USING (doc_id) GROUP BY r.doc_id, d.t
+),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS c
+  FROM pieces GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS removed_chars
+  FROM ranges GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.t) AS BIGINT) AS orig_len,
+       CAST(coalesce(rm.removed_chars, 0) AS BIGINT) AS removed_chars,
+       CAST(length(coalesce(c.c, d.t)) AS BIGINT) AS cleaned_len,
+       md5(coalesce(c.c, d.t)) AS cleaned_md5
+FROM d2 d
+LEFT JOIN cleaned c USING (doc_id)
+LEFT JOIN removed rm USING (doc_id)
+"""
+
     # recall@5 of the approximate paths vs brute force — reuses the three
     # method oracles verbatim as subqueries so the ground truth can never
     # drift from the per-method gates
@@ -3223,6 +3363,207 @@ SELECT fixture, expected_md5, expected_md5 AS extracted_md5,
 FROM (VALUES
 {_gp_vals}
 ) t(fixture, expected_md5)
+"""
+
+    # HITS: same synthetic link graph as host_pagerank, 2 unrolled
+    # max-normalized integer iterations (DIV scaling — no sqrt)
+    _hits_iters = []
+    prev_h = "h0"
+    a_cte = ""
+    for it in (1, 2):
+        _hits_iters.append(f"""
+ra{it} AS (
+  SELECT e.dst_host AS host,
+         CAST(sum(CAST(s.h * e.n_links AS BIGINT)) AS BIGINT) AS raw
+  FROM hedges e JOIN {prev_h} s ON s.host = e.src_host GROUP BY 1
+),
+a{it} AS (
+  SELECT n.host,
+         CAST((coalesce(r.raw, 0) * 1000000)
+              // (SELECT max(raw) FROM ra{it}) AS BIGINT) AS a
+  FROM hnodes n LEFT JOIN ra{it} r USING (host)
+),
+rh{it} AS (
+  SELECT e.src_host AS host,
+         CAST(sum(CAST(s.a * e.n_links AS BIGINT)) AS BIGINT) AS raw
+  FROM hedges e JOIN a{it} s ON s.host = e.dst_host GROUP BY 1
+),
+h{it} AS (
+  SELECT n.host,
+         CAST((coalesce(r.raw, 0) * 1000000)
+              // (SELECT max(raw) FROM rh{it}) AS BIGINT) AS h
+  FROM hnodes n LEFT JOIN rh{it} r USING (host)
+)""")
+        prev_h = f"h{it}"
+        a_cte = f"a{it}"
+    _hits_body = ",".join(_hits_iters)
+    sql["host_hits"] = f"""
+WITH hpages AS (
+  SELECT 'https://' || coalesce(source, 'src0') || '.example.com/articles/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p><a href="https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+           || '.example.com/a/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+           || '<a href="https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+           || '.example.com/b">y</a>'
+           || '<a href="/relative">rel</a>'
+           || '<a href="https://' || coalesce(source, 'src0')
+           || '.example.com/self">self</a></p>' AS html
+  FROM documents
+),
+hhrefs AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+         u.href
+  FROM hpages,
+       LATERAL unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+         AS u(href)
+),
+hedges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+  FROM (
+    SELECT src_host,
+           lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host
+    FROM hhrefs WHERE regexp_matches(href, '^https?://')
+  )
+  WHERE dst_host <> '' AND dst_host <> src_host
+  GROUP BY 1, 2
+),
+hnodes AS (
+  SELECT src_host AS host FROM hedges
+  UNION
+  SELECT dst_host FROM hedges
+),
+h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS h FROM hnodes),
+{_hits_body}
+SELECT n.host, {a_cte}.a AS authority_micro, {prev_h}.h AS hub_micro
+FROM hnodes n JOIN {a_cte} USING (host) JOIN {prev_h} USING (host)
+"""
+
+    # bloom membership: same k seeded md5 positions mod m, bitset as a
+    # DISTINCT position table, all-k-present test
+    sql["bloom_filter"] = """
+WITH hosts AS (
+  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) || '.example.com' AS item
+  FROM documents
+),
+members AS (
+  SELECT DISTINCT item FROM (
+    SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example.com' AS item
+    FROM documents WHERE doc_id % 9 = 0
+    UNION ALL
+    SELECT 'missing' || CAST(j.j AS VARCHAR) || '.test' AS item
+    FROM (SELECT unnest(range(10)) AS j) j
+  )
+),
+bits AS (
+  SELECT DISTINCT
+         cast(concat('0x', substr(md5(CAST(s.s AS VARCHAR) || ':' || m.item),
+                                  1, 15)) as ubigint)::bigint % 1024
+           AS bitpos
+  FROM members m, (SELECT unnest(range(4)) AS s) s
+),
+probe AS (
+  SELECT h.item,
+         cast(concat('0x', substr(md5(CAST(s.s AS VARCHAR) || ':' || h.item),
+                                  1, 15)) as ubigint)::bigint % 1024
+           AS bitpos
+  FROM hosts h, (SELECT unnest(range(4)) AS s) s
+),
+hits AS (
+  SELECT p.item, count(*) AS nset
+  FROM probe p SEMI JOIN bits b ON p.bitpos = b.bitpos
+  GROUP BY 1
+)
+SELECT h.item,
+       CAST(CASE WHEN coalesce(t.nset, 0) = 4 THEN 1 ELSE 0 END AS INTEGER)
+         AS in_bloom,
+       CAST(CASE WHEN m.item IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_member
+FROM hosts h
+LEFT JOIN hits t ON t.item = h.item
+LEFT JOIN members m ON m.item = h.item
+"""
+
+    # fixed-boundary sentence chunking: same split regex (RE2-safe),
+    # same running-offset integer division
+    sql["sentence_chunks"] = """
+WITH s AS (
+  SELECT doc_id, i.i AS idx, sent[i.i + 1] AS st
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''),
+                                             '[.!?]+\\s+'),
+                       x -> x <> '') AS sent
+    FROM documents
+  ), LATERAL (SELECT unnest(range(len(sent))) AS i) i
+),
+c AS (
+  SELECT doc_id, idx, length(st) AS sl,
+         coalesce(CAST(sum(length(st)) OVER (PARTITION BY doc_id
+                    ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS pre
+  FROM s
+)
+SELECT doc_id, CAST(pre // 120 AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(sl) AS BIGINT) AS chunk_len
+FROM c GROUP BY doc_id, CAST(pre // 120 AS BIGINT)
+"""
+
+    # JSONL roundtrip is lossless, so the oracle states the identity
+    # directly from the source table
+    sql["jsonl_roundtrip"] = """
+SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+       coalesce(lang, '') AS lang, coalesce(source, '') AS source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
+FROM documents
+"""
+
+    # HyperLogLog registers + harmonic term are exact integers; the
+    # estimator is ONE float expression in pinned literal order (all
+    # operands CAST to DOUBLE — DuckDB parses bare 0.709 as DECIMAL)
+    sql["hll_distinct"] = """
+WITH toks AS (
+  SELECT coalesce(source, 'src0') AS grp,
+         unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+           AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT grp, CAST(h % 64 AS INTEGER) AS bucket, h // 64 AS w
+  FROM (
+    SELECT grp,
+           cast(concat('0x', substr(md5('hll' || ':' || tok), 1, 15))
+                as ubigint)::bigint AS h
+    FROM toks WHERE tok <> ''
+  )
+),
+rho AS (
+  SELECT grp, bucket,
+         CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS r
+  FROM hashed
+),
+regs AS (SELECT grp, bucket, max(r) AS register FROM rho GROUP BY 1, 2),
+allregs AS (
+  SELECT '__all__' AS grp, bucket, max(register) AS register
+  FROM regs GROUP BY 2
+),
+u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(register) AS BIGINT) AS sum_rho,
+         CAST(sum(CAST(1 AS BIGINT) << (55 - register)) AS BIGINT) AS part
+  FROM u GROUP BY 1
+)
+SELECT grp AS source, CAST(64 AS INTEGER) AS m, n_buckets, sum_rho,
+       CAST(part + (64 - n_buckets) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+         AS harmonic_scaled,
+       CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) * power(2.0, 55)
+         / CAST(part + (64 - n_buckets) * (CAST(1 AS BIGINT) << 55)
+                AS DOUBLE) AS est_distinct
+FROM agg
 """
 
     # baseline-JPEG roundtrip: constant 8x8 blocks survive the lossy

@@ -806,3 +806,50 @@ def minhash_probe_pairs(new_df: DataFrame, index_df: DataFrame,
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def remove_dup_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 24, window: int = 8,
+                     max_span_df: int = 10_000) -> DataFrame:
+    """APPLY the substring-dedup removal (Lee et al. 2022): cut every
+    merged duplicated interval from :func:`dup_span_ranges` out of the
+    document and return the cleaned text stats — the end-to-end curation
+    semantics, not just the diagnosis.
+
+    Reconstruction is gap-stitching, entirely JVM-side: per doc the
+    sorted intervals define kept gaps [prev_end+1, next_start-1]; the
+    cleaned text is the ordered concatenation of those gap substrings
+    plus the tail after the last interval.  One groupBy on the (already
+    small) interval table + one equi-join back to the corpus — no
+    Python in the hot path, no per-row UDF.
+
+    Emits (doc_id, orig_len, removed_chars, cleaned_len, cleaned_md5);
+    docs with no duplicated interval pass through verbatim."""
+    ranges = dup_span_ranges(df, text_col, id_col, k, window, max_span_df)
+    ivs = (ranges.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(
+                    F.struct("span_start", "span_end"))).alias("_ivs"),
+                F.sum(F.col("span_end") - F.col("span_start") + 1)
+                .cast("bigint").alias("removed_chars")))
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    joined = df.select(F.col(id_col), t.alias("_t")).join(
+        ivs, id_col, "left")
+    # fold the sorted intervals: acc = (cursor, text-so-far); each step
+    # appends the gap before the interval and advances the cursor past it
+    cleaned = F.when(F.col("_ivs").isNull(), F.col("_t")).otherwise(
+        F.expr(
+            "concat("
+            "aggregate(_ivs, struct(1L as pos, '' as acc), "
+            " (st, iv) -> struct(iv.span_end + 1 as pos, "
+            "   concat(st.acc, substr(_t, st.pos, iv.span_start - st.pos))"
+            "   as acc)).acc, "
+            "substr(_t, aggregate(_ivs, struct(1L as pos, '' as acc), "
+            " (st, iv) -> struct(iv.span_end + 1 as pos, st.acc as acc)"
+            ").pos))"))
+    return joined.select(
+        F.col(id_col),
+        F.length("_t").cast("bigint").alias("orig_len"),
+        F.coalesce("removed_chars", F.lit(0)).cast("bigint")
+        .alias("removed_chars"),
+        F.length(cleaned).cast("bigint").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"))

@@ -113,3 +113,64 @@ def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         F.col("r").alias("rank_micro"),
         F.round(F.col("r").cast("double") / F.lit(1e6), 6).alias("pagerank"),
     )
+
+
+def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Quantized HITS (Kleinberg 1999) over the weighted host edge list:
+    authority(v) = sum of hub scores linking to v, hub(u) = sum of
+    authority scores u links to — the crawl-frontier complement to
+    PageRank (hubs find new content, authorities deserve recrawl).
+
+    Exactness: classic HITS L2-normalizes each half-step; a sqrt breaks
+    the integer-exact oracle discipline, so scores are MAX-normalized
+    instead — after each half-step ``x'(v) = (X(v) * 1e6) DIV max(X)``,
+    an exact bigint scaling with the same fixed point structure
+    (rankings and ratios are what downstream consumers use).  Every
+    operation is deterministic integer arithmetic, so the DuckDB oracle
+    unrolls the same iterations.
+
+    Scale shape per half-step: ONE join of the |hosts|-row score vector
+    against the edge list + ONE groupBy (both keyed on a host column),
+    plus a scalar max broadcast (single-row agg).  Same shape as
+    :func:`host_pagerank`, twice per iteration."""
+    edges = edges.cache()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .cache()
+    )
+    hubs = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
+    auths = None
+    for _ in range(iterations):
+        raw_a = (
+            edges.join(hubs.withColumnRenamed("host", "src_host"),
+                       "src_host")
+            .select(F.col("dst_host").alias("host"),
+                    F.expr("CAST(h * n_links AS BIGINT)").alias("_c"))
+            .groupBy("host")
+            .agg(F.sum("_c").cast("bigint").alias("_raw")))
+        max_a = raw_a.agg(F.max("_raw").alias("_mx"))
+        auths = (
+            nodes.join(raw_a, "host", "left")
+            .crossJoin(F.broadcast(max_a))
+            .select("host",
+                    F.expr("CAST((coalesce(_raw, 0L) * 1000000) DIV _mx "
+                           "AS BIGINT)").alias("a")))
+        raw_h = (
+            edges.join(auths.withColumnRenamed("host", "dst_host"),
+                       "dst_host")
+            .select(F.col("src_host").alias("host"),
+                    F.expr("CAST(a * n_links AS BIGINT)").alias("_c"))
+            .groupBy("host")
+            .agg(F.sum("_c").cast("bigint").alias("_raw")))
+        max_h = raw_h.agg(F.max("_raw").alias("_mx"))
+        hubs = (
+            nodes.join(raw_h, "host", "left")
+            .crossJoin(F.broadcast(max_h))
+            .select("host",
+                    F.expr("CAST((coalesce(_raw, 0L) * 1000000) DIV _mx "
+                           "AS BIGINT)").alias("h")))
+    return (nodes.join(auths, "host").join(hubs, "host")
+            .select("host", F.col("a").alias("authority_micro"),
+                    F.col("h").alias("hub_micro")))

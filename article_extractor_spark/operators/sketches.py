@@ -96,3 +96,115 @@ def kmv_distinct_tokens(df: DataFrame, text_col: str = "text",
         .select(F.col("grp").alias(group_col), "exact_distinct",
                 "kth_hash", est.alias("est_distinct"))
     )
+
+
+def hll_distinct_tokens(df: DataFrame, text_col: str = "text",
+                        group_col: str = "source", p: int = 6) -> DataFrame:
+    """HyperLogLog distinct-token sketch (Flajolet et al. 2007), the
+    fixed-size complement to KMV: m = 2^p registers per group, register
+    j = max over tokens in bucket j of rho(hash suffix) — the classic
+    streaming-cardinality structure every production pipeline carries.
+
+    Deterministic and integer-exact end to end: hash = 60-bit md5
+    prefix; bucket = hash mod m; rho = 55 - bit_length(hash div m)
+    (the 54 remaining bits, rho = 55 when they are all zero).  The
+    harmonic term is emitted as the EXACT integer
+    ``harmonic_scaled = sum(2^(55-register)) + (m - n_buckets) * 2^55``
+    (i.e. 2^55 * sum(2^-register) with empty registers counted as
+    2^0 = 1), so the driver hash-checks integers; ``est_distinct`` is
+    the standard alpha_m * m^2 / sum(2^-reg) estimator computed from it
+    with one fixed expression-order float division (emitted UNROUNDED
+    per the oracle float policy — identical IEEE ops both engines).
+
+    Scale shape: NO pre-dedup anywhere (register max is idempotent —
+    duplicate tokens are free, unlike KMV's distinct); the only shuffle
+    is the (group, bucket) groupBy — at most m rows per group survive,
+    with map-side partial max.  The ``__all__`` row folds the per-group
+    register tables (max per bucket), never re-reading the corpus:
+    HLL's lossless-union property."""
+    m = 1 << p
+    rho_bits = 60 - p  # bits remaining after the bucket index
+    toks = df.select(
+        F.coalesce(F.col(group_col), F.lit("src0")).alias("grp"),
+        F.explode(F.expr(
+            f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+            "t -> t <> '')")).alias("tok"),
+    )
+    h = "cast(conv(substr(md5(concat('hll', ':', tok)), 1, 15), 16, 10) as bigint)"
+    hashed = toks.select(
+        "grp",
+        F.expr(f"pmod({h}, {m})").cast("int").alias("bucket"),
+        F.expr(f"({h}) div {m}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_bits + 1)).otherwise(
+        F.lit(rho_bits + 1) - F.length(F.expr("bin(w)"))).cast("int")
+    regs = (hashed.select("grp", "bucket", rho.alias("rho"))
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("register")))
+    all_regs = (regs.groupBy("bucket")
+                .agg(F.max("register").alias("register"))
+                .select(F.lit("__all__").alias("grp"), "bucket", "register"))
+    scaled = F.expr(f"shiftleft(cast(1 as bigint), {rho_bits + 1} - register)")
+    agg = (regs.unionByName(all_regs)
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum("register").cast("bigint").alias("sum_rho"),
+                F.sum(scaled).cast("bigint").alias("_part")))
+    harmonic = (F.col("_part")
+                + (F.lit(m) - F.col("n_buckets"))
+                * F.expr(f"shiftleft(cast(1 as bigint), {rho_bits + 1})"))
+    alpha = 0.709  # alpha_64 constant from the HLL paper
+    est = (F.lit(alpha) * F.lit(float(m * m))
+           * F.expr(f"power(2.0, {rho_bits + 1})")
+           / F.col("harmonic_scaled").cast("double"))
+    return (agg.withColumn("harmonic_scaled", harmonic.cast("bigint"))
+            .select(F.col("grp").alias(group_col),
+                    F.lit(m).cast("int").alias("m"),
+                    "n_buckets", "sum_rho", "harmonic_scaled",
+                    est.alias("est_distinct")))
+
+
+def bloom_membership(items: DataFrame, members: DataFrame,
+                     item_col: str = "host", member_col: str = "host",
+                     m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Bloom-filter membership probe, formulated relationally: the
+    pre-join cheap test a 100 TB pipeline runs before an expensive
+    blocklist/seen-set equi-join (a negative answer is certain, so only
+    bloom-positive rows continue to the exact join).
+
+    Build: each member sets k = ``k`` bit positions
+    (md5(seed:value) mod ``m_bits``); the "bitset" is the DISTINCT
+    position table — semantically identical to a bit array and
+    join-friendly (broadcastable at typical m; a giant filter shards on
+    position).  Probe: each item computes its k positions IN-ROW (one
+    array expression, no explode-shuffle) and is bloom-positive iff all
+    k are present — an aggregate over a position-keyed semi-match.
+
+    Emits (item, in_bloom, is_member) so false positives are visible
+    and countable; false negatives are impossible by construction
+    (the driver-side test asserts both properties)."""
+    bits = members.select(
+        F.explode(F.array(*[
+            F.expr(f"cast(conv(substr(md5(concat('{s}', ':', "
+                   f"{member_col})), 1, 15), 16, 10) as bigint) % {m_bits}")
+            for s in range(k)])).alias("bitpos")).distinct()
+    probe = items.select(
+        F.col(item_col).alias("item"),
+        F.posexplode(F.array(*[
+            F.expr(f"cast(conv(substr(md5(concat('{s}', ':', "
+                   f"{item_col})), 1, 15), 16, 10) as bigint) % {m_bits}")
+            for s in range(k)])).alias("_i", "bitpos"))
+    hits = (probe.join(bits, "bitpos", "left_semi")
+            .groupBy("item").agg(F.count(F.lit(1)).alias("_nset")))
+    truth = members.select(
+        F.col(member_col).alias("item")).distinct().withColumn(
+        "_ismem", F.lit(1))
+    return (items.select(F.col(item_col).alias("item")).distinct()
+            .join(hits, "item", "left")
+            .join(truth, "item", "left")
+            .select(
+                "item",
+                (F.coalesce("_nset", F.lit(0)) == k).cast("int")
+                .alias("in_bloom"),
+                F.coalesce("_ismem", F.lit(0)).cast("int")
+                .alias("is_member")))

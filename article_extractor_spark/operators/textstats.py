@@ -627,3 +627,42 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         F.length("_t").cast("bigint").alias("n_chars_before"),
         F.length(collapsed).cast("bigint").alias("n_chars_after"),
     )
+
+
+def sentence_chunks(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    chunk_chars: int = 400) -> DataFrame:
+    """Sentence-boundary context chunking — the training-window prep
+    step between cleaning and packing: documents split on sentence
+    boundaries, sentences assigned to fixed-budget chunks by their
+    cumulative character offset (a sentence never straddles a chunk).
+
+    chunk_idx = (chars before this sentence) div ``chunk_chars`` — the
+    deterministic fixed-boundary formulation (greedy first-fit differs
+    only when a single sentence exceeds the budget).  Sentence split is
+    ``[.!?]+\\s+`` (RE2-safe: identical semantics in Spark's Java regex
+    and the DuckDB oracle — no lookbehind).
+
+    Scale shape: split + explode are in-row; the running offset windows
+    partitionBy(doc) ordered by sentence index (per-doc row counts
+    bounded by document length); one (doc, chunk) groupBy with map-side
+    combine.  Emits (doc_id, chunk_idx, n_sents, chunk_len)."""
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"filter(split(coalesce({text_col}, ''), '[.!?]+\\\\s+'), "
+            "s -> s <> '')")).alias("idx", "sent"))
+    w = (Window.partitionBy(id_col).orderBy("idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.coalesce(F.sum(F.length("sent").cast("bigint")).over(w),
+                     F.lit(0))
+    # integer `div`, not float `/`: floor-exact at any offset magnitude
+    chunks = sents.withColumn("_pre", pre).select(
+        F.col(id_col),
+        F.expr(f"_pre div {chunk_chars}").cast("bigint").alias("chunk_idx"),
+        F.length("sent").alias("_sl"))
+    return (chunks.groupBy(id_col, "chunk_idx")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sents"),
+                 F.sum("_sl").cast("bigint").alias("chunk_len")))

@@ -159,7 +159,9 @@ def main() -> None:
         "audio_frames",
         # round-4 additions (informational)
         "dup_span_ranges", "ann_recall", "golden_parity",
-        "jpeg_decode", "video_frames")
+        "jpeg_decode", "video_frames",
+        "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
+        "sentence_chunks", "bloom_filter", "host_hits")
     for name in suite:
         fn = qs[name]
         best = None
@@ -184,7 +186,9 @@ def main() -> None:
              "dedup_incremental", "image_phash", "robots_end_to_end",
              "audio_frames",
              "dup_span_ranges", "ann_recall", "golden_parity",
-             "jpeg_decode", "video_frames"}
+             "jpeg_decode", "video_frames",
+             "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
+             "sentence_chunks", "bloom_filter", "host_hits"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,

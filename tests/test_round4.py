@@ -225,3 +225,156 @@ def test_ann_recall_counts_bounded(spark):
     assert {r.method for r in out} == {"lsh", "ivf_refined"}
     assert all(0 <= r.n_hits <= r.k_total == 5 for r in out)
     assert len(out) == 6  # 3 queries x 2 methods
+
+
+# ---------------------------------------------- round-4b operators
+
+def test_jsonl_file_roundtrip_and_corrupt_line(spark, tmp_path):
+    from article_extractor_spark.sources.jsonl import (DOC_JSON_SCHEMA,
+                                                       docs_to_jsonl,
+                                                       read_jsonl,
+                                                       write_jsonl)
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "srcA", 11),
+         (2, None, "de", None, 0),
+         (3, 'quo"tes and \n newline', "fr", "srcB", 21)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    structured = docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"),
+        F.struct("lang", "source").alias("meta"),
+        F.array(F.col("n_chars"),
+                F.length(F.coalesce("text", F.lit(""))).cast("bigint"))
+        .alias("stats"))
+    path = str(tmp_path / "shards")
+    write_jsonl(structured, path)
+    # the in-row serializer must agree with the file-based datasource:
+    # parsing its lines yields the same rows
+    inrow = docs_to_jsonl(docs).select("line")
+    assert inrow.count() == 3
+    # drop a corrupt line in as its own shard (appending to an existing
+    # part file would invalidate its Hadoop .crc sidecar): PERMISSIVE
+    # must keep the job alive and surface it in _corrupt_record
+    with open(path + "/part-extra.json", "w") as f:
+        f.write('{"doc_id": broken\n')
+    # cache() first: Spark disallows queries whose referenced columns are
+    # ONLY the internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD)
+    back = read_jsonl(spark, path, DOC_JSON_SCHEMA).cache()
+    ok = back.where("_corrupt_record IS NULL").count()
+    bad = back.where("_corrupt_record IS NOT NULL").count()
+    assert (ok, bad) == (3, 1)
+    texts = {r.j["doc_id"]: r.j["text"] for r in
+             back.where("_corrupt_record IS NULL")
+             .selectExpr("struct(doc_id, text) AS j").collect()}
+    assert texts[3] == 'quo"tes and \n newline'
+    assert texts[2] == ""
+
+
+def test_bloom_no_false_negatives(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_bloom_filter(spark, "/root/testdata/sf0.001").collect()
+    # every true member must be bloom-positive
+    assert all(r.in_bloom == 1 for r in rows if r.is_member == 1)
+    members = sum(r.is_member for r in rows)
+    assert members > 0
+
+
+def test_hll_matches_python_reference(spark):
+    import hashlib
+
+    from article_extractor_spark.operators.sketches import \
+        hll_distinct_tokens
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i * 7, i * 7 + 50)), "s0")
+         for i in range(6)],
+        "doc_id bigint, text string, source string")
+    got = {r.source: r for r in hll_distinct_tokens(docs).collect()}
+    # python reference for the 's0' group
+    regs = {}
+    for i in range(6):
+        for j in range(i * 7, i * 7 + 50):
+            tok = f"tok{j}"
+            h = int(hashlib.md5(f"hll:{tok}".encode()).hexdigest()[:15], 16)
+            b, w = h % 64, h // 64
+            rho = 55 if w == 0 else 55 - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+    assert got["s0"].n_buckets == len(regs)
+    assert got["s0"].sum_rho == sum(regs.values())
+    expect_h = (sum(1 << (55 - r) for r in regs.values())
+                + (64 - len(regs)) * (1 << 55))
+    assert got["s0"].harmonic_scaled == expect_h
+    # single group: __all__ must equal it
+    assert got["__all__"].harmonic_scaled == expect_h
+    # estimator sanity: ~85 distinct tokens, HLL m=64 is coarse (~13%
+    # typical error) — just require the right order of magnitude
+    n_true = len({f"tok{j}" for i in range(6)
+                  for j in range(i * 7, i * 7 + 50)})
+    assert 0.5 * n_true < got["s0"].est_distinct < 2.0 * n_true
+
+
+def test_sentence_chunks_boundaries(spark):
+    from article_extractor_spark.operators.textstats import sentence_chunks
+
+    text = "One two three. Four five! Six? " + "x" * 50 + ". Tail here"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = sentence_chunks(df, chunk_chars=20).collect()
+    # chunk lens sum to total sentence chars (delimiters excluded)
+    import re
+    sents = [s for s in re.split(r"[.!?]+\s+", text) if s]
+    assert sum(r.chunk_len for r in out) == sum(len(s) for s in sents)
+    assert sum(r.n_sents for r in out) == len(sents)
+    # a sentence never straddles: every chunk_idx = floor(prefix/20)
+    pre = 0
+    expect = {}
+    for s in sents:
+        ci = pre // 20
+        n, l = expect.get(ci, (0, 0))
+        expect[ci] = (n + 1, l + len(s))
+        pre += len(s)
+    assert {r.chunk_idx: (r.n_sents, r.chunk_len) for r in out} == expect
+
+
+def test_dup_span_removal_surgery(spark):
+    from article_extractor_spark.operators.dedup import remove_dup_spans
+
+    boiler = "SHARED-BOILERPLATE-PASSAGE-FOR-REMOVAL-TEST"
+    rows = [(1, "alpha start " + boiler + " alpha end"),
+            (2, "beta opening " + boiler + " beta closing"),
+            (3, "nothing duplicated in this one at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           remove_dup_spans(df, k=8, window=4).collect()}
+    import hashlib
+    # doc 3 untouched
+    assert out[3].removed_chars == 0
+    assert out[3].cleaned_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+    # docs 1-2: cleaned shorter by removed_chars, consistent lengths
+    for d in (1, 2):
+        r = out[d]
+        assert r.removed_chars > 0
+        assert r.cleaned_len == r.orig_len - r.removed_chars
+        # the shared passage core must be gone from the cleaned doc:
+        # removal covers at least the winnow-guaranteed interior
+        assert r.removed_chars >= len(boiler) - 2 * (8 + 4 - 2)
+
+
+def test_host_hits_ranking_sane(spark):
+    from article_extractor_spark.operators.linkgraph import host_hits
+
+    edges = spark.createDataFrame(
+        [("huba", "auth1", 3), ("huba", "auth2", 1),
+         ("hubb", "auth1", 2), ("lone", "auth2", 1)],
+        "src_host string, dst_host string, n_links bigint")
+    out = {r.host: r for r in host_hits(edges, iterations=2).collect()}
+    # auth1 receives more weighted hub mass than auth2
+    assert out["auth1"].authority_micro == 1_000_000  # max-normalized top
+    assert out["auth2"].authority_micro < out["auth1"].authority_micro
+    # huba links to both strong authorities -> top hub
+    assert out["huba"].hub_micro == 1_000_000
+    # pure authorities have no outlinks -> zero hub score
+    assert out["auth1"].hub_micro == 0 and out["auth2"].hub_micro == 0
