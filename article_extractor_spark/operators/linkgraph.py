@@ -130,47 +130,42 @@ def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     unrolls the same iterations.
 
     Scale shape per half-step: ONE join of the |hosts|-row score vector
-    against the edge list + ONE groupBy (both keyed on a host column),
-    plus a scalar max broadcast (single-row agg).  Same shape as
-    :func:`host_pagerank`, twice per iteration."""
-    edges = edges.cache()
+    against the edge list + ONE groupBy (both keyed on a host column).
+    The raw-score vector is localCheckpointed (same pattern as
+    dedup_clusters' label state — keeps the iterative plan shallow
+    instead of replaying the whole lineage per consumer) and the
+    normalizer is a driver-side scalar collect off that materialized
+    vector (one |hosts|-row agg, like k-means' centroid collect) — no
+    cross join in the plan at all."""
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
+
+    def _half(score_df, score_col, join_side, emit_side, out_col):
+        raw = (
+            edges.join(score_df.withColumnRenamed("host", join_side),
+                       join_side)
+            .select(F.col(emit_side).alias("host"),
+                    F.expr(f"CAST({score_col} * n_links AS BIGINT)")
+                    .alias("_c"))
+            .groupBy("host")
+            .agg(F.sum("_c").cast("bigint").alias("_raw"))
+            .localCheckpoint())
+        mx = raw.agg(F.max("_raw")).first()[0]
+        return (nodes.join(raw, "host", "left")
+                .select("host",
+                        F.expr(f"CAST((coalesce(_raw, 0L) * 1000000) "
+                               f"DIV {mx} AS BIGINT)").alias(out_col)))
+
     hubs = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
     auths = None
     for _ in range(iterations):
-        raw_a = (
-            edges.join(hubs.withColumnRenamed("host", "src_host"),
-                       "src_host")
-            .select(F.col("dst_host").alias("host"),
-                    F.expr("CAST(h * n_links AS BIGINT)").alias("_c"))
-            .groupBy("host")
-            .agg(F.sum("_c").cast("bigint").alias("_raw")))
-        max_a = raw_a.agg(F.max("_raw").alias("_mx"))
-        auths = (
-            nodes.join(raw_a, "host", "left")
-            .crossJoin(F.broadcast(max_a))
-            .select("host",
-                    F.expr("CAST((coalesce(_raw, 0L) * 1000000) DIV _mx "
-                           "AS BIGINT)").alias("a")))
-        raw_h = (
-            edges.join(auths.withColumnRenamed("host", "dst_host"),
-                       "dst_host")
-            .select(F.col("src_host").alias("host"),
-                    F.expr("CAST(a * n_links AS BIGINT)").alias("_c"))
-            .groupBy("host")
-            .agg(F.sum("_c").cast("bigint").alias("_raw")))
-        max_h = raw_h.agg(F.max("_raw").alias("_mx"))
-        hubs = (
-            nodes.join(raw_h, "host", "left")
-            .crossJoin(F.broadcast(max_h))
-            .select("host",
-                    F.expr("CAST((coalesce(_raw, 0L) * 1000000) DIV _mx "
-                           "AS BIGINT)").alias("h")))
+        auths = _half(hubs, "h", "src_host", "dst_host", "a")
+        hubs = _half(auths, "a", "dst_host", "src_host", "h")
     return (nodes.join(auths, "host").join(hubs, "host")
             .select("host", F.col("a").alias("authority_micro"),
                     F.col("h").alias("hub_micro")))
