@@ -799,6 +799,17 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_pdf_extract(spark, sf_dir):
+    """REAL PDF write+parse (xref, FlateDecode streams, text-operator
+    interpretation) with layout reconstruction: the two-column first
+    page is emitted right-column-first in the content stream, and the
+    oracle's expected text has the left column first."""
+    from article_extractor_spark.operators.multimodal import \
+        pdf_extract_stats
+
+    return pdf_extract_stats(_docs(spark, sf_dir))
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog per-source + __all__ distinct-token sketch: exact
     integer registers (bucket max-rho) and harmonic term; the classic
@@ -1313,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "bloom_filter": q_bloom_filter,
         "host_hits": q_host_hits,
+        "pdf_extract": q_pdf_extract,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3519,6 +3531,28 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # PDF extraction: expected reading-order text by formula — LEFT
+    # column first even though the content stream emits right first
+    sql["pdf_extract"] = """
+WITH c AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9 ]', '',
+                              'g')) AS cl
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         'left ' || substr(cl, 1, 40) || ' right ' || substr(cl, 41, 40)
+           || chr(10) || 'footer line one' || chr(10)
+           || 'doc ' || CAST(doc_id AS VARCHAR) || ' page two'
+           || chr(10) || 'end' AS txt
+  FROM c
+)
+SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS n_pages,
+       CAST(length(txt) AS BIGINT) AS n_chars, md5(txt) AS text_md5
+FROM t
 """
 
     # HyperLogLog registers + harmonic term are exact integers; the

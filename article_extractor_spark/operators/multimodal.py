@@ -593,3 +593,60 @@ def y4m_frame_stats(docs: DataFrame, sample_every: int = 2) -> DataFrame:
         docs.select(F.col("doc_id").alias("media_id")))
     return ids.mapInPandas(
         _y4m_frame_batches(sample_every), VIDEO_FRAMES_SCHEMA)
+
+
+PDF_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_pages", IntegerType()),
+    StructField("n_chars", LongType()),
+    StructField("text_md5", StringType()),
+])
+
+
+def _pdf_extract_batches(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+    import hashlib
+    import re as _re
+
+    from article_extractor_spark.core.pdf import encode_pdf, extract_pdf_text
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "n_pages", "n_chars",
+                               "text_md5")}
+        for mid, text in zip(pdf["media_id"], pdf["_t"]):
+            mid = int(mid)
+            # ASCII-strip BEFORE lowercasing so the oracle's lower() is
+            # byte-identical (full-Unicode lower differs across engines)
+            clean = _re.sub(r"[^a-zA-Z0-9 ]", "", text or "").lower()
+            a, b = clean[:40], clean[40:80]
+            page1 = [(300.0, 700.0, "right " + b),   # right column FIRST
+                     (50.0, 700.0, "left " + a),     # layout must reorder
+                     (50.0, 680.0, "footer line one")]
+            page2 = [(50.0, 700.0, f"doc {mid} page two"),
+                     (50.0, 680.0, "end")]
+            data = encode_pdf([page1, page2])
+            pages = extract_pdf_text(data)
+            joined = "\n".join(pages)
+            out["media_id"].append(mid)
+            out["n_pages"].append(len(pages))
+            out["n_chars"].append(len(joined))
+            out["text_md5"].append(
+                hashlib.md5(joined.encode("utf-8")).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def pdf_extract_stats(docs: DataFrame) -> DataFrame:
+    """REAL PDF parse through the Arrow path (closes the north-rule
+    "PDF/layout parse" leg): per doc a genuine two-page PDF 1.4 file is
+    WRITTEN (xref/trailer/page tree, FlateDecode content streams) with
+    a two-column first page whose content stream emits the RIGHT column
+    first, then PARSED back (core/pdf.py: xref walk, object/stream
+    parse, text-operator interpretation with line-matrix tracking) and
+    reassembled in reading order — the oracle's expected text has the
+    left column first, so a layout-reconstruction bug (not just a byte
+    bug) breaks the value match."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    ids = ensure_min_partitions(docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("_t")))
+    return ids.mapInPandas(_pdf_extract_batches, PDF_STATS_SCHEMA)

@@ -378,3 +378,48 @@ def test_host_hits_ranking_sane(spark):
     assert out["huba"].hub_micro == 1_000_000
     # pure authorities have no outlinks -> zero hub score
     assert out["auth1"].hub_micro == 0 and out["auth2"].hub_micro == 0
+
+
+# --------------------------------------------------------------- PDF
+
+def test_pdf_roundtrip_layout_order():
+    from article_extractor_spark.core.pdf import encode_pdf, extract_pdf_text
+
+    p1 = [(300.0, 700.0, "right column"),
+          (50.0, 700.0, "left column"),
+          (50.0, 680.0, "second line")]
+    p2 = [(50.0, 700.0, "page two")]
+    pages = extract_pdf_text(encode_pdf([p1, p2]))
+    assert pages == ["left column right column\nsecond line", "page two"]
+
+
+def test_pdf_string_escapes_and_parens():
+    from article_extractor_spark.core.pdf import encode_pdf, extract_pdf_text
+
+    s = r"parens (nested (deep)) back\slash and \n literal"
+    out = extract_pdf_text(encode_pdf([[(10.0, 100.0, s)]]))
+    assert out[0] == s
+
+
+def test_pdf_text_operators_interpreted():
+    """Hand-written (non-encoder) content stream: TD/T*/TL/'/TJ must all
+    place text on the right lines — the interpreter is general, not just
+    a mirror of the encoder's Td/Tj output."""
+    from article_extractor_spark.core.pdf import (_interpret_text,
+                                                  _reading_order)
+
+    content = (b"BT /F1 12 Tf 14 TL 50 700 Td (first) Tj T* (second) Tj "
+               b"(third) ' [(fou) -120 (rth)] TJ ET")
+    assert _reading_order(_interpret_text(content)) == \
+        "first\nsecond\nthird fourth"
+    # TD sets leading implicitly; Tm positions absolutely
+    content2 = (b"BT 100 700 Td (a) Tj 0 -20 TD (b) Tj T* (c) Tj "
+                b"1 0 0 1 300 700 Tm (a2) Tj ET")
+    assert _reading_order(_interpret_text(content2)) == "a a2\nb\nc"
+
+
+def test_pdf_rejects_garbage():
+    from article_extractor_spark.core.pdf import extract_pdf_text
+
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf at all")
