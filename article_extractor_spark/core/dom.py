@@ -32,10 +32,22 @@ CDATA_NODE = 4  # script/style raw content (libxml2 CDATA sections)
 PI_NODE = 7
 COMMENT_NODE = 8
 
+# Structural-mutation version counter (module-global, monotonically
+# increasing).  Every operation that can change WHICH elements exist,
+# their tag names, or their document order bumps it; per-Document tag
+# indexes (xpath fast scans) cache against it and rebuild when stale.
+# Attribute/text edits deliberately do NOT bump — they cannot change a
+# {tag -> ordered element list} mapping, so attribute-heavy passes (URL
+# repair, attribute strips) keep their index hits.  A global (rather
+# than per-document) counter is conservative — mutating any document
+# invalidates all cached indexes — but makes missed-invalidation
+# impossible for unattached subtrees that get spliced in later.
+_MUTVER = 0
+
 
 class Node:
     __slots__ = ("type", "name", "attrs", "children", "parent", "text", "doc",
-                 "_idx")
+                 "_idx", "_tc")
 
     def __init__(self, type_: int, name: str = "", text: str = "", doc=None):
         self.type = type_
@@ -67,6 +79,8 @@ class Node:
         return self.name
 
     def set_name(self, name: str) -> None:
+        global _MUTVER
+        _MUTVER += 1
         self.name = name
 
     def is_element(self) -> bool:
@@ -90,6 +104,14 @@ class Node:
             c0 = ch[0]
             if c0.type == TEXT_NODE or c0.type == CDATA_NODE:
                 return c0.text
+        # multi-child subtree walk: memoized against the structural-
+        # mutation counter (text edits go through set_content, which
+        # bumps it too) — scoring passes re-read the same containers'
+        # text many times between mutations
+        ver = _MUTVER
+        tc = getattr(self, "_tc", None)
+        if tc is not None and tc[0] == ver:
+            return tc[1]
         parts: List[str] = []
         stack = ch[::-1]
         while stack:
@@ -99,9 +121,13 @@ class Node:
                 parts.append(n.text)
             elif t == ELEMENT_NODE and n.children:
                 stack.extend(n.children[::-1])
-        return "".join(parts)
+        res = "".join(parts)
+        self._tc = (ver, res)
+        return res
 
     def set_content(self, content: str) -> None:
+        global _MUTVER
+        _MUTVER += 1  # text change invalidates get_content memos
         if self.type == TEXT_NODE:
             self.text = content
             return
@@ -212,6 +238,8 @@ class Node:
 
     # ---- mutation --------------------------------------------------------
     def unlink(self) -> None:
+        global _MUTVER
+        _MUTVER += 1
         if self.parent is not None:
             try:
                 i = self._sibling_index()
@@ -221,6 +249,8 @@ class Node:
             self.parent = None
 
     def add_child(self, child: "Node") -> None:
+        global _MUTVER
+        _MUTVER += 1
         child.unlink()
         child.parent = self
         child._idx = len(self.children)
@@ -243,6 +273,8 @@ class Node:
         return el
 
     def insert_before(self, new: "Node", ref: "Node") -> None:
+        global _MUTVER
+        _MUTVER += 1
         new.unlink()
         i = ref._sibling_index()
         new.parent = self
@@ -251,6 +283,8 @@ class Node:
 
     def replace_child_node(self, new: "Node", old: "Node") -> "Node":
         """Replace ``old`` (a child of self) with ``new``; returns old."""
+        global _MUTVER
+        _MUTVER += 1
         i = old._sibling_index()
         if old.parent is not self:
             raise ValueError("old is not a child of self")
@@ -282,11 +316,14 @@ class Document:
 
     def __init__(self):
         self.root: Optional[Node] = None
+        self._tag_index = None  # (mutver snapshot, {name|None: [elements]})
 
     def get_root_element(self) -> Optional[Node]:
         return self.root
 
     def set_root_element(self, node: Node) -> None:
+        global _MUTVER
+        _MUTVER += 1
         self.root = node
 
     def dup(self) -> "Document":

@@ -80,10 +80,13 @@ def _check_byline(node: Node, match_string: str, state: State) -> bool:
     rel = node.get_attribute("rel") == "author"
     itemprop_attr = node.get_attribute("itemprop")
     itemprop = itemprop_attr is not None and "author" in itemprop_attr
+    # content is only consulted when one of the three indicators fires —
+    # skipping the subtree text walk for the (overwhelming) non-byline
+    # case is observably identical
+    if not (rel or itemprop) and not constants.BYLINE.search(match_string):
+        return False
     content = node.get_content()
-    if rel or itemprop or (
-        constants.BYLINE.search(match_string) and _is_valid_byline(content)
-    ):
+    if rel or itemprop or _is_valid_byline(content):
         state.byline = content.strip()
         return True
     return False

@@ -22,6 +22,7 @@ import math
 import re
 from functools import lru_cache
 
+from . import dom as dom_module
 from .dom import (CDATA_NODE, COMMENT_NODE, ELEMENT_NODE, PI_NODE,
                   TEXT_NODE, Document, Node)
 
@@ -723,12 +724,54 @@ def _compile_simple_pred_uncached(ast):
     return None
 
 
+def _tag_index(doc: Document) -> dict:
+    """Per-Document {tag -> doc-order element list} (None key = all
+    elements), cached against the global structural-mutation counter
+    (dom._MUTVER).  One DFS amortizes across every subsequent `//tag`
+    scan until the next structural mutation — at 24 fixed xpath walks
+    per extracted page, most of which match nothing and mutate nothing,
+    this collapses the walk count to the number of mutation epochs."""
+    cached = getattr(doc, "_tag_index", None)
+    ver = dom_module._MUTVER
+    if cached is not None and cached[0] == ver:
+        return cached[1]
+    table: dict = {None: []}
+    root = doc.root
+    if root is not None and root.type == ELEMENT_NODE:
+        all_el = table[None]
+        stack = [root]
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
+            all_el.append(n)
+            lst = table.get(n.name)
+            if lst is None:
+                table[n.name] = [n]
+            else:
+                lst.append(n)
+            ch = n.children
+            if ch:
+                extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
+    doc._tag_index = (ver, table)
+    return table
+
+
 def _try_fast_abs_scan(steps, ctx: _Ctx):
-    """Fast path for absolute `//test[preds]` with position-free predicates:
-    one DFS in document order, no global order-map rebuild, no sort."""
-    if len(steps) != 2:
+    """Fast path for absolute `//test[preds]` (position-free predicates)
+    and `//test[preds]/@attr`: doc-order element lists come from the
+    versioned per-Document tag index (one shared DFS per mutation epoch)
+    instead of a walk per eval; no global order-map rebuild, no sort."""
+    attr_name = None
+    if len(steps) == 3:
+        s2 = steps[2]
+        # trailing attribute step: axis=attribute, name test, no preds
+        if s2[1] != "attribute" or s2[3] or s2[2][0] != "name":
+            return None
+        attr_name = s2[2][1]
+    elif len(steps) != 2:
         return None
-    s0, s1 = steps
+    s0, s1 = steps[0], steps[1]
     if s0[1] != "descendant-or-self" or s0[2] != ("node",) or s0[3]:
         return None
     if s1[1] != "child":
@@ -741,36 +784,18 @@ def _try_fast_abs_scan(steps, ctx: _Ctx):
     root = ctx.doc.root if isinstance(ctx.doc, Document) else ctx.doc
     if root is None:
         return []
-    out = []
-    stack = [root]
     kind = test[0]
-    # inlined node tests for the hot loop; for element-only tests the
-    # stack carries elements exclusively (push-filtered list comp runs at
-    # C speed vs a pop+branch per text node)
     if kind == "name":
-        want = test[1]
-        if root.type != ELEMENT_NODE:
-            stack = []
-        append = out.append
-        pop = stack.pop
-        extend = stack.extend
-        while stack:
-            n = pop()
-            if n.name == want:
-                append(n)
-            ch = n.children
-            if ch:
-                extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
+        out = _tag_index(ctx.doc).get(test[1], [])
     elif kind == "*":
-        if root.type != ELEMENT_NODE:
-            stack = []
-        while stack:
-            n = stack.pop()
-            out.append(n)
-            ch = n.children
-            if ch:
-                stack.extend([c for c in ch[::-1] if c.type == ELEMENT_NODE])
+        out = _tag_index(ctx.doc)[None]
     else:
+        # non-element node tests (comment()/text()/node()) still walk —
+        # the index holds elements only
+        if attr_name is not None:
+            return None
+        out = []
+        stack = [root]
         while stack:
             n = stack.pop()
             if _node_test(n, test):
@@ -783,7 +808,17 @@ def _try_fast_abs_scan(steps, ctx: _Ctx):
             out = [n for n in out if simple(n)]
         else:
             out = [n for n in out if _to_bool(_eval(pred, n, 1, 1, ctx))]
-    return out
+    if attr_name is not None:
+        # per-element attribute tail: each element yields at most one
+        # named attribute, so element doc order IS attribute doc order
+        return [AttrNode(n, attr_name,
+                         "" if n.attrs[attr_name] is None
+                         else n.attrs[attr_name])
+                for n in out
+                if n.type == ELEMENT_NODE and attr_name in n.attrs]
+    # never hand out the cached list itself — callers may keep it across
+    # mutations; predicate filtering already produced a fresh list
+    return out if preds else list(out)
 
 
 def _eval(ast, cnode, cpos, csize, ctx: _Ctx):

@@ -53,14 +53,20 @@ def decode_image_real(content: bytes) -> tuple[int, int, int]:
     if content[:8] == PNG_SIGNATURE:
         w, h, _ch, _px = decode_png(content)
         return w, h, 1
+    if content[:2] == b"\xFF\xD8":  # JPEG SOI
+        from article_extractor_spark.core.jpeg import decode_jpeg_gray
+
+        w, h, _px = decode_jpeg_gray(content)
+        return w, h, 1
     try:
         import io
 
         from PIL import Image  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PNG image decoding needs PIL/opencv; PNG decodes via "
-            "the built-in codec (core/png.py)"
+            "image decoding beyond PNG/baseline-JPEG needs PIL/opencv; "
+            "PNG and grayscale baseline JPEG decode via the built-in "
+            "codecs (core/png.py, core/jpeg.py)"
         ) from exc
     with Image.open(io.BytesIO(content)) as im:
         return int(im.width), int(im.height), int(getattr(im, "n_frames", 1))

@@ -423,3 +423,20 @@ def test_pdf_rejects_garbage():
 
     with pytest.raises(ValueError):
         extract_pdf_text(b"not a pdf at all")
+
+
+def test_decode_image_real_jpeg_seam(spark):
+    """decode_image_real now handles baseline JPEG via the built-in
+    codec (no PIL needed), through the same Arrow plumbing as the stub."""
+    from article_extractor_spark.core.jpeg import encode_jpeg_gray
+    from article_extractor_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                              decode_image_real,
+                                                              decode_media)
+
+    jpg = encode_jpeg_gray(24, 16, bytes(range(256)) + bytes(128))
+    assert decode_image_real(jpg) == (24, 16, 1)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpg), "image/jpeg")], MEDIA_SCHEMA)
+    row = decode_media(
+        media, decoder=lambda d, k: decode_image_real(d)).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (24, 16, 1)
