@@ -35,13 +35,6 @@ def build_spark(cpus: int):
         # workers, which don't inherit the driver's sys.path — the
         # single-box analog of `spark-submit --py-files` in the north rule
         .config("spark.executorEnv.PYTHONPATH", repo)
-        # Extraction tasks are uniform Arrow-batch maps over small cached/
-        # shuffle blocks: waiting the default 3s for a data-local slot
-        # serializes the task tail once executors finish unevenly (measured
-        # on local-cluster[4,8]: narrow throughput 7.7k -> 10.6k docs/s
-        # with wait=0).  Remote fetch of a ~few-MB block is microseconds on
-        # a cluster fabric; schedule immediately.
-        .config("spark.locality.wait", "0")
         .appName("aes-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
@@ -51,6 +44,17 @@ def build_spark(cpus: int):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("AES_DRIVER_MEM", "8g"))
     )
+    # Multi-executor masters only: waiting the default 3s for a
+    # data-local slot serializes the cross-executor task tail once
+    # executors finish unevenly (measured on local-cluster[4,8]: narrow
+    # throughput 7.7k -> 10.6k docs/s with wait=0 — remote block fetch
+    # is microseconds on a cluster fabric).  In single-JVM local[N] the
+    # same setting measurably HURTS shuffle-heavy queries
+    # (dedup_incremental 3.0s -> 4.8s, robots_end_to_end 1.0s -> 3.2s
+    # best-of-4 solo), so it is applied only when the master actually
+    # has multiple executors.
+    if master.startswith("local-cluster"):
+        b = b.config("spark.locality.wait", "0")
     # AES_SPARK_CONF="k=v;k=v": ad-hoc conf overrides for sweep experiments
     for kv in os.environ.get("AES_SPARK_CONF", "").split(";"):
         if "=" in kv:
