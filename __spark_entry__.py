@@ -799,6 +799,31 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_quality_bins(spark, sf_dir):
+    """Exact corpus quartiles of the quality score via the bounded-
+    domain histogram (no global sort) — the curriculum/threshold step."""
+    from article_extractor_spark.operators.textstats import quality_bins
+
+    return quality_bins(_docs(spark, sf_dir))
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Per-host politeness pacing: bursty deterministic request times
+    (several docs share a host and second), exact integer slots via the
+    closed-form prefix-max window."""
+    from article_extractor_spark.operators.weburl import crawl_schedule
+
+    docs = _docs(spark, sf_dir)
+    reqs = docs.select(
+        "doc_id",
+        F.concat(F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com")).alias("host"),
+        # bursts: many requests in the same second per host
+        (F.lit(1_700_000_000) + (F.col("doc_id") % 7) * 3
+         + (F.col("doc_id") % 3)).cast("bigint").alias("ts"))
+    return crawl_schedule(reqs, min_delay=5)
+
+
 def q_pdf_extract(spark, sf_dir):
     """REAL PDF write+parse (xref, FlateDecode streams, text-operator
     interpretation) with layout reconstruction: the two-column first
@@ -1325,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "host_hits": q_host_hits,
         "pdf_extract": q_pdf_extract,
+        "crawl_schedule": q_crawl_schedule,
+        "quality_bins": q_quality_bins,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3531,6 +3558,66 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # exact quantile binning: reuses the quality oracle verbatim, then
+    # bounded-domain histogram + cumulative + boundary values
+    sql["quality_bins"] = f"""
+WITH q AS (SELECT doc_id, quality FROM ({sql['quality']}) tq),
+s AS (
+  SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS quality_micro
+  FROM q
+),
+hist AS (
+  SELECT quality_micro, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1
+),
+cum AS (
+  SELECT quality_micro,
+         CAST(sum(c) OVER (ORDER BY quality_micro ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+b AS (
+  SELECT
+    min(CASE WHEN cm >= (n * 1 + 3) // 4 THEN quality_micro END) AS b1,
+    min(CASE WHEN cm >= (n * 2 + 3) // 4 THEN quality_micro END) AS b2,
+    min(CASE WHEN cm >= (n * 3 + 3) // 4 THEN quality_micro END) AS b3
+  FROM cum, tot
+)
+SELECT s.doc_id, s.quality_micro,
+       CAST(CASE WHEN s.quality_micro <= b.b1 THEN 1
+                 WHEN s.quality_micro <= b.b2 THEN 2
+                 WHEN s.quality_micro <= b.b3 THEN 3
+                 ELSE 4 END AS INTEGER) AS bin
+FROM s, b
+"""
+
+    # politeness scheduling: the sequential slot recurrence in its
+    # closed prefix-max form (slot_i = i*D + max_{j<=i}(ts_j - j*D))
+    sql["crawl_schedule"] = """
+WITH reqs AS (
+  SELECT doc_id,
+         coalesce(source, 'src0') || '.example.com' AS host,
+         CAST(1700000000 + (doc_id % 7) * 3 + (doc_id % 3) AS BIGINT)
+           AS ts
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, host, ts,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY ts, doc_id)
+              - 1 AS BIGINT) AS r
+  FROM reqs
+),
+sched AS (
+  SELECT doc_id, host, ts, r,
+         CAST(r * 5 + max(ts - r * 5) OVER (PARTITION BY host
+                ORDER BY ts, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS slot
+  FROM ranked
+)
+SELECT doc_id, host, ts, slot, CAST(slot - ts AS BIGINT) AS wait
+FROM sched
 """
 
     # PDF extraction: expected reading-order text by formula — LEFT

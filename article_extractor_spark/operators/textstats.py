@@ -666,3 +666,52 @@ def sentence_chunks(df: DataFrame, text_col: str = "text",
     return (chunks.groupBy(id_col, "chunk_idx")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sents"),
                  F.sum("_sl").cast("bigint").alias("chunk_len")))
+
+
+def quality_bins(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_bins: int = 4) -> DataFrame:
+    """EXACT corpus quantile binning of the quality score — the
+    curriculum / filtering-threshold step ("train on the top quartile",
+    "drop the bottom decile") that follows scoring.
+
+    Exactness without a global sort: the score domain is BOUNDED (micro-
+    quantized to <= 1e6 + 1 distinct integer values regardless of corpus
+    size), so a value histogram + one cumulative pass over the domain
+    yields exact boundary values b_k = min{v : cum(v) >= ceil(n*k/B)};
+    a doc's bin is the smallest k with score <= b_k, which by
+    construction puts equal scores in equal bins.  Everything is integer
+    arithmetic, bit-identical in the oracle.
+
+    Scale shape: one groupBy on the quantized score (bounded key
+    domain), ONE deliberately single-partition cumulative window over
+    the <= 1e6-row histogram (domain-bounded, NOT corpus-bounded —
+    partitionBy(lit(0)) makes the intent explicit), a 1-row boundary
+    aggregate broadcast back, and a zero-shuffle bin projection.
+    Emits (doc_id, quality_micro, bin)."""
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col, id_col).select(
+        F.col(id_col),
+        F.expr("cast(round(quality * 1000000) as bigint)")
+        .alias("quality_micro"))
+    hist = scored.groupBy("quality_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w = Window.partitionBy(F.lit(0)).orderBy("quality_micro") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    bounds = (cum.crossJoin(F.broadcast(tot))
+              .agg(*[F.min(F.when(
+                        F.col("_cum") >= F.expr(f"(_n * {k} + {n_bins - 1}) "
+                                                f"div {n_bins}"),
+                        F.col("quality_micro"))).alias(f"_b{k}")
+                     for k in range(1, n_bins)]))
+    bin_expr = None
+    for k in range(1, n_bins):
+        cond = F.col("quality_micro") <= F.col(f"_b{k}")
+        bin_expr = (F.when(cond, k) if bin_expr is None
+                    else bin_expr.when(cond, k))
+    bin_expr = bin_expr.otherwise(n_bins)
+    return (scored.crossJoin(F.broadcast(bounds))
+            .select(id_col, "quality_micro",
+                    bin_expr.cast("int").alias("bin")))

@@ -256,3 +256,41 @@ def parse_robots_txt(robots: DataFrame, host_col: str = "host",
 
     return robots.select(host_col, content_col).mapInPandas(
         batches, ROBOTS_SCHEMA)
+
+
+def crawl_schedule(df: DataFrame, host_col: str = "host",
+                   ts_col: str = "ts", id_col: str = "doc_id",
+                   min_delay: int = 5) -> DataFrame:
+    """Per-host politeness scheduling: assign each fetch request an
+    execution slot such that consecutive fetches against the same host
+    are at least ``min_delay`` seconds apart and no fetch runs before
+    its request time — the crawl-frontier pacing step between frontier
+    ranking and the fetch fleet.
+
+    The sequential recurrence slot_i = max(ts_i, slot_{i-1} + D) has the
+    CLOSED FORM slot_i = i*D + max_{j<=i}(ts_j - j*D) (i = 0-based rank
+    within host, requests in (ts, id) order) — so what looks like an
+    inherently sequential per-host fold becomes one running-max window,
+    fully parallel across hosts and expressible identically in the
+    DuckDB oracle.  All arithmetic is exact integers.
+
+    Scale shape: one shuffle (window partitionBy host); per-host row
+    counts are crawl-frontier sized, and a pathological single-host
+    frontier is exactly the case where the OUTPUT is inherently
+    sequential anyway.  Emits (doc_id, host, ts, slot, wait)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(ts_col, id_col)
+    r = F.row_number().over(w) - F.lit(1)
+    base = df.select(F.col(id_col), F.col(host_col), F.col(ts_col)) \
+        .withColumn("_r", r.cast("bigint")) \
+        .withColumn("_adj", F.col(ts_col) - F.col("_r") * min_delay)
+    run_max = F.max("_adj").over(
+        Window.partitionBy(host_col).orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return (base.withColumn(
+                "slot", (F.col("_r") * min_delay + run_max).cast("bigint"))
+            .select(id_col, host_col, F.col(ts_col).cast("bigint").alias(ts_col),
+                    "slot",
+                    (F.col("slot") - F.col(ts_col)).cast("bigint")
+                    .alias("wait")))

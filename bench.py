@@ -165,7 +165,8 @@ def main() -> None:
         "dup_span_ranges", "ann_recall", "golden_parity",
         "jpeg_decode", "video_frames",
         "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
-        "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract")
+        "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
+        "crawl_schedule", "quality_bins")
     for name in suite:
         fn = qs[name]
         best = None
@@ -192,7 +193,8 @@ def main() -> None:
              "dup_span_ranges", "ann_recall", "golden_parity",
              "jpeg_decode", "video_frames",
              "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
-             "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract"}
+             "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
+             "crawl_schedule", "quality_bins"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,

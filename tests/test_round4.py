@@ -440,3 +440,46 @@ def test_decode_image_real_jpeg_seam(spark):
     row = decode_media(
         media, decoder=lambda d, k: decode_image_real(d)).collect()[0]
     assert (row.width, row.height, row.n_frames) == (24, 16, 1)
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    from article_extractor_spark.operators.weburl import crawl_schedule
+
+    rows = [(i, "h1.com" if i < 6 else "h2.com", 1000 + (i % 2))
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, ts bigint")
+    out = sorted(crawl_schedule(df, min_delay=5).collect(),
+                 key=lambda r: (r.host, r.slot))
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        for a, b in zip(rs, rs[1:]):
+            assert b.slot - a.slot >= 5  # politeness gap
+        for r in rs:
+            assert r.slot >= r.ts       # never before request time
+            assert r.wait == r.slot - r.ts
+    # closed form equals the sequential fold
+    for host, rs in by_host.items():
+        prev = None
+        for r in rs:
+            expect = r.ts if prev is None else max(r.ts, prev + 5)
+            assert r.slot == expect, (host, r)
+            prev = r.slot
+
+
+def test_quality_bins_exact_quartiles(spark):
+    from article_extractor_spark.operators.textstats import quality_bins
+
+    # 8 docs with strictly increasing word counts -> strictly increasing
+    # quality -> exactly 2 docs per quartile
+    rows = [(i, "the " * (10 * (i + 1))) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(quality_bins(df).collect(), key=lambda r: r.quality_micro)
+    assert [r.bin for r in out] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # equal scores must share a bin
+    df2 = spark.createDataFrame(
+        [(i, "identical text for every doc") for i in range(10)],
+        "doc_id bigint, text string")
+    bins = {r.bin for r in quality_bins(df2).collect()}
+    assert bins == {1}
