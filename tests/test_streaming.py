@@ -328,3 +328,50 @@ def test_stream_curation_filters_match_batch(spark, tmp_path):
         .orderBy("doc_id").collect())
     assert [r.asDict() for r in got] == [r.asDict() for r in exp]
     docs.unpersist()
+
+
+def test_stream_crawl_schedule_matches_batch(spark, tmp_path):
+    """Streaming politeness slots (per-host O(1) state) must be
+    ROW-IDENTICAL to the batch closed-form window, across two waves with
+    state carried through the checkpoint — the recurrence the state
+    folds is exactly what the prefix-max closed form solves."""
+    from article_extractor_spark.operators.weburl import crawl_schedule
+    from article_extractor_spark.streaming.schedule_stream import \
+        crawl_schedule_stream
+
+    rows = [(i, f"h{i % 5}.com", 1_000 + (i // 5) * 2 + (i % 3))
+            for i in range(60)]
+    reqs = spark.createDataFrame(
+        rows, "doc_id long, host string, ts long").cache()
+    in_dir = str(tmp_path / "req_in")
+    out_dir = str(tmp_path / "slots")
+    chk = str(tmp_path / "chk_sched")
+
+    def run_wave():
+        stream = (spark.readStream
+                  .schema("doc_id long, host string, ts long")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (crawl_schedule_stream(stream, min_delay=5)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", chk)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+
+    # waves split on ts so per-host (ts, doc_id) order holds across waves
+    reqs.where(F.col("ts") <= 1_020).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    run_wave()
+    reqs.where(F.col("ts") > 1_020).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    run_wave()
+
+    streamed = {(r.doc_id, r.host, r.ts, r.slot, r.wait)
+                for r in spark.read.parquet(out_dir).collect()}
+    batch = {(r.doc_id, r.host, r.ts, r.slot, r.wait)
+             for r in crawl_schedule(reqs, min_delay=5).collect()}
+    assert streamed == batch
+    assert len(streamed) == 60
+    reqs.unpersist()
