@@ -176,6 +176,10 @@ def strip_id_or_class(ctx: Context, id_or_class: str) -> None:
 
 
 def get_signature(node: Node) -> str:
+    # fast path: most nodes carry neither class nor id — identical to
+    # the general form, which yields "" for both-absent
+    if not node.has_attribute("class") and not node.has_attribute("id"):
+        return ""
     match_string = "".join(f" {c}" for c in node.get_class_names())
     node_id = node.get_property("id")
     if node_id is not None:
@@ -186,10 +190,10 @@ def get_signature(node: Node) -> str:
 def is_probably_visible(node: Node) -> bool:
     is_hidden = node.has_attribute("hidden")
     aria_hidden = node.get_attribute("aria-hidden") == "true"
-    has_fallback_image = any(
-        "fallback-image" in c for c in node.get_class_names()
-    )
-    return (not is_hidden and not aria_hidden) or has_fallback_image
+    if not is_hidden and not aria_hidden:
+        # visible regardless of fallback-image — skip the class split
+        return True
+    return any("fallback-image" in c for c in node.get_class_names())
 
 
 def is_whitespace(node: Node) -> bool:
