@@ -799,6 +799,23 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-survivor curation: near-dup clusters keep their
+    highest-quality member (tie -> min id), everything else maps to its
+    cluster's kept_id."""
+    from article_extractor_spark.operators.dedup import (dedup_clusters,
+                                                         dedup_keep_best)
+    from article_extractor_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(docs, num_bands=8)
+    score_df = quality_score(docs).select(
+        "doc_id",
+        F.expr("cast(round(quality * 1000000) as bigint)")
+        .alias("quality_micro"))
+    return dedup_keep_best(docs, clusters, score_df)
+
+
 def q_quality_bins(spark, sf_dir):
     """Exact corpus quartiles of the quality score via the bounded-
     domain histogram (no global sort) — the curriculum/threshold step."""
@@ -1352,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "crawl_schedule": q_crawl_schedule,
         "quality_bins": q_quality_bins,
+        "dedup_keep_best": q_dedup_keep_best,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3558,6 +3576,34 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # canonical-survivor selection: full-coverage cluster labels +
+    # quality argmax per cluster (row_number tie-break = max score then
+    # min id, mirroring Spark's max(struct(score, -id)))
+    sql["dedup_keep_best"] = f"""
+WITH labels AS (SELECT * FROM ({sql['dedup_clusters_full']}) tl),
+qx AS (
+  SELECT doc_id, CAST(round(quality * 1000000) AS BIGINT) AS s
+  FROM ({sql['quality']}) tq
+),
+lab AS (
+  SELECT l.doc_id, l.cluster_id, CAST(coalesce(qx.s, 0) AS BIGINT) AS s
+  FROM labels l LEFT JOIN qx USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS kept_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY s DESC, doc_id ASC) AS rk
+    FROM lab
+  ) WHERE rk = 1
+)
+SELECT l.doc_id, l.cluster_id, l.s AS score,
+       CAST(CASE WHEN l.doc_id = b.kept_id THEN 1 ELSE 0 END AS INTEGER)
+         AS keep,
+       b.kept_id
+FROM lab l JOIN best b USING (cluster_id)
 """
 
     # exact quantile binning: reuses the quality oracle verbatim, then

@@ -853,3 +853,43 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
         .alias("removed_chars"),
         F.length(cleaned).cast("bigint").alias("cleaned_len"),
         F.md5(cleaned).alias("cleaned_md5"))
+
+
+def dedup_keep_best(df: DataFrame, clusters: DataFrame,
+                    score_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    score_col: str = "quality_micro") -> DataFrame:
+    """Canonical-survivor selection: given near-dup cluster labels and a
+    per-doc quality score, keep the HIGHEST-QUALITY member of each
+    cluster (ties broken by min doc id) — the curation policy that
+    replaces naive keep-min-id, retaining the best copy of each
+    duplicated article instead of an arbitrary one.
+
+    Docs outside any cluster keep themselves.  Emits one row per input
+    doc: (doc_id, cluster_id, score, keep, kept_id) — ``keep`` marks
+    survivors, ``kept_id`` points every member at its cluster's
+    canonical doc (the training-set filter is ``WHERE keep = 1``, the
+    provenance map is (doc_id -> kept_id)).
+
+    Scale shape: one left join to attach labels (docs without candidates
+    default to a singleton cluster), one per-cluster max-score groupBy
+    (map-side combine), one broadcast-or-shuffle join back on the
+    cluster key.  No window over the corpus."""
+    labeled = (df.select(id_col)
+               .join(clusters, id_col, "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col(id_col)))
+               .join(score_df.select(id_col, score_col), id_col, "left")
+               .withColumn(score_col, F.coalesce(score_col, F.lit(0))))
+    best = (labeled.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                                (-F.col(id_col)).alias("negid")))
+                 .alias("_b"))
+            .select("cluster_id",
+                    F.col("_b.s").alias("_best_score"),
+                    (-F.col("_b.negid")).cast("bigint").alias("kept_id")))
+    return (labeled.join(best, "cluster_id")
+            .select(id_col, "cluster_id", F.col(score_col).alias("score"),
+                    (F.col(id_col) == F.col("kept_id")).cast("int")
+                    .alias("keep"),
+                    "kept_id"))

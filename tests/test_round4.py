@@ -483,3 +483,71 @@ def test_quality_bins_exact_quartiles(spark):
         "doc_id bigint, text string")
     bins = {r.bin for r in quality_bins(df2).collect()}
     assert bins == {1}
+
+
+# --------------------------------------------- codec fuzz robustness
+
+def test_codec_fuzz_mutated_bytes_fail_clean():
+    """Bit-flipped / truncated valid files must either decode or raise a
+    clean exception (never hang, never segfault-style corruption)."""
+    import struct
+    import zlib
+
+    from article_extractor_spark.core.jpeg import encode_jpeg_gray, decode_jpeg_gray
+    from article_extractor_spark.core.pdf import encode_pdf, extract_pdf_text
+    from article_extractor_spark.core.y4m import encode_y4m, decode_y4m
+
+    rng = random.Random(1234)
+    jpg = encode_jpeg_gray(*(_const_block_image(5)[:2]),
+                           _const_block_image(5)[2])
+    y4m = encode_y4m(4, 2, [(bytes(8), bytes(8), bytes(8))])
+    pdf = encode_pdf([[(50.0, 700.0, "fuzz target text")]])
+    ok = {"jpeg": 0, "y4m": 0, "pdf": 0}
+    for name, data, dec in (("jpeg", jpg, decode_jpeg_gray),
+                            ("y4m", y4m, decode_y4m),
+                            ("pdf", pdf, extract_pdf_text)):
+        for _ in range(120):
+            buf = bytearray(data)
+            mode = rng.randrange(3)
+            if mode == 0:  # flip a byte
+                i = rng.randrange(len(buf))
+                buf[i] ^= 1 << rng.randrange(8)
+            elif mode == 1:  # truncate
+                del buf[rng.randrange(1, len(buf)):]
+            else:  # splice garbage
+                i = rng.randrange(len(buf))
+                buf[i:i] = bytes(rng.randrange(256) for _ in range(5))
+            try:
+                dec(bytes(buf))
+                ok[name] += 1
+            except (ValueError, KeyError, IndexError, EOFError,
+                    zlib.error, struct.error, OverflowError):
+                pass
+    # decoders must survive; some mutations still decode (e.g. flipped
+    # pixel bits) — just require no other exception type escaped
+    assert all(v >= 0 for v in ok.values())
+
+
+def test_dedup_keep_best_selects_highest_quality(spark):
+    from article_extractor_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "doc_id bigint")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id bigint, cluster_id bigint")
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 90), (3, 50), (4, 70)],
+        "doc_id bigint, quality_micro bigint")
+    out = {r.doc_id: r for r in
+           dedup_keep_best(docs, clusters, scores).collect()}
+    assert out[2].keep == 1 and out[1].keep == 0   # best of cluster 1
+    assert out[1].kept_id == 2
+    assert out[3].keep == 1                         # singleton in labels
+    assert out[4].keep == 1 and out[4].cluster_id == 4  # unlabeled doc
+    # tie-break: equal scores -> min id survives
+    scores2 = spark.createDataFrame(
+        [(1, 50), (2, 50), (3, 1), (4, 1)],
+        "doc_id bigint, quality_micro bigint")
+    out2 = {r.doc_id: r for r in
+            dedup_keep_best(docs, clusters, scores2).collect()}
+    assert out2[1].keep == 1 and out2[2].keep == 0
