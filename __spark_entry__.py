@@ -799,6 +799,30 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text terms per target host (top-3 by mentions,
+    deterministic tie-break): pages carry varied anchor texts plus
+    relative/self anchors that must be ignored."""
+    from article_extractor_spark.operators.linkgraph import anchor_text_terms
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.coalesce("source", F.lit("src0")),
+                 F.lit(".example.com/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "concat('<p><a href=\"https://src', "
+            "CAST((doc_id * 7 + 1) % 20 AS STRING), "
+            "'.example.com/a/', CAST(doc_id AS STRING), "
+            "'\">breaking news ', CAST(doc_id % 5 AS STRING), '</a>', "
+            "'<a href=\"https://src', CAST((doc_id * 7 + 3) % 20 AS STRING), "
+            "'.example.com/b\">read more</a>', "
+            "'<a href=\"/relative\">ignored relative</a>', "
+            "'<a href=\"https://', coalesce(source, 'src0'), "
+            "'.example.com/self\">ignored self</a></p>')").alias("html"))
+    return anchor_text_terms(pages, top_k=3)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-survivor curation: near-dup clusters keep their
     highest-quality member (tie -> min id), everything else maps to its
@@ -1370,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "quality_bins": q_quality_bins,
         "dedup_keep_best": q_dedup_keep_best,
+        "anchor_text": q_anchor_text,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3576,6 +3601,59 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # inbound anchor-text terms: same (href, text) capture pairs zipped
+    # positionally, token split, per-dst-host top-3
+    sql["anchor_text"] = """
+WITH pages AS (
+  SELECT 'https://' || coalesce(source, 'src0') || '.example.com/articles/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p><a href="https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR)
+           || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+           || '">breaking news ' || CAST(doc_id % 5 AS VARCHAR) || '</a>'
+           || '<a href="https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+           || '.example.com/b">read more</a>'
+           || '<a href="/relative">ignored relative</a>'
+           || '<a href="https://' || coalesce(source, 'src0')
+           || '.example.com/self">ignored self</a></p>' AS html
+  FROM documents
+),
+parsed AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+         regexp_extract_all(html, '<a href="([^"]+)"[^>]*>([^<]*)</a>', 1)
+           AS hrefs,
+         regexp_extract_all(html, '<a href="([^"]+)"[^>]*>([^<]*)</a>', 2)
+           AS texts
+  FROM pages
+),
+links AS (
+  SELECT src_host, hrefs[i.i + 1] AS href, texts[i.i + 1] AS txt
+  FROM parsed, LATERAL (SELECT unnest(range(len(hrefs))) AS i) i
+),
+terms AS (
+  SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM (
+    SELECT lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host,
+           src_host,
+           unnest(list_filter(regexp_split_to_array(lower(txt),
+                                                    '[^a-z0-9]+'),
+                              t -> t <> '')) AS term
+    FROM links WHERE regexp_matches(href, '^https?://')
+  )
+  WHERE dst_host <> '' AND dst_host <> src_host
+  GROUP BY 1, 2
+)
+SELECT dst_host, term, n_mentions, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT dst_host, term, n_mentions,
+         row_number() OVER (PARTITION BY dst_host
+           ORDER BY n_mentions DESC, term ASC) AS rank
+  FROM terms
+)
+WHERE rank <= 3
 """
 
     # canonical-survivor selection: full-coverage cluster labels +

@@ -169,3 +169,60 @@ def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     return (nodes.join(auths, "host").join(hubs, "host")
             .select("host", F.col("a").alias("authority_micro"),
                     F.col("h").alias("hub_micro")))
+
+
+def anchor_text_terms(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html", top_k: int = 3) -> DataFrame:
+    """Inbound anchor-text aggregation per target host — the classic
+    off-page relevance signal (anchor terms describe the TARGET better
+    than its own page does; used for ranking and for labeling hosts a
+    crawler has not fetched yet).
+
+    Parse: one regexp pass over the raw HTML extracts (href, anchor
+    text) pairs — two ``regexp_extract_all`` captures of the SAME
+    pattern zipped positionally (identical match counts by
+    construction), no HTML DOM needed at this stage.  Terms are
+    lowercase word tokens of the anchor text; self-links are dropped
+    like in :func:`extract_outlinks`.
+
+    Scale shape: parse + explode are in-row; one (dst_host, term)
+    groupBy with map-side combine; the top-k ranking windows
+    partitionBy(dst_host).  Emits (dst_host, term, n_mentions, rank<=k)
+    in deterministic order (count desc, term asc)."""
+    from pyspark.sql import Window
+
+    is_bin = dict(pages.dtypes)[html_col] == "binary"
+    html_str = (F.decode(F.col(html_col), "UTF-8") if is_bin
+                else F.col(html_col).cast("string"))
+    pat = '<a href="([^"]+)"[^>]*>([^<]*)</a>'
+    base = (pages.select(
+                F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+                .alias("src_host"),
+                html_str.alias("_h"))
+            .select(
+                "src_host",
+                F.expr(f"regexp_extract_all(_h, '{pat}', 1)").alias("_hrefs"),
+                F.expr(f"regexp_extract_all(_h, '{pat}', 2)").alias("_texts"))
+            .withColumn("_z", F.arrays_zip("_hrefs", "_texts"))
+            .select("src_host", F.explode("_z").alias("_p"))
+            .select("src_host",
+                    F.col("_p._hrefs").alias("_href"),
+                    F.col("_p._texts").alias("_text")))
+    dst = F.lower(F.regexp_extract(F.col("_href"), _HOST_RE, 1))
+    terms = (
+        base.where(F.col("_href").rlike(r"^https?://"))
+        .select(dst.alias("dst_host"), "src_host", "_text")
+        .where((F.col("dst_host") != "") &
+               (F.col("dst_host") != F.col("src_host")))
+        .select("dst_host", F.explode(F.expr(
+            "filter(split(lower(_text), '[^a-z0-9]+'), t -> t <> '')"))
+            .alias("term"))
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mentions"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_mentions").desc(), F.col("term").asc())
+    return (terms.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("dst_host", "term", "n_mentions",
+                    F.col("rank").cast("int").alias("rank")))
