@@ -799,6 +799,15 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_editdist_verify(spark, sf_dir):
+    """Character-level near-dup verification of LSH candidates:
+    levenshtein over 256-char prefixes, normalized; catches in-word
+    edits that token shingles under-count."""
+    from article_extractor_spark.operators.dedup import editdist_verify
+
+    return editdist_verify(_docs(spark, sf_dir), num_bands=16)
+
+
 def q_anchor_text(spark, sf_dir):
     """Inbound anchor-text terms per target host (top-3 by mentions,
     deterministic tie-break): pages carry varied anchor texts plus
@@ -1395,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bins": q_quality_bins,
         "dedup_keep_best": q_dedup_keep_best,
         "anchor_text": q_anchor_text,
+        "editdist_verify": q_editdist_verify,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3601,6 +3611,31 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # edit-distance verification of the same banded candidates
+    sql["editdist_verify"] = f"""
+WITH {_SHINGLES_CTE.strip()},
+{_minhash_bands_sql(16)},
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+prefx AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, 256) AS p FROM documents
+)
+SELECT c.a_id, c.b_id,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS prefix_dist,
+       round(levenshtein(pa.p, pb.p) * 1.0 /
+             greatest(length(pa.p), length(pb.p), 1), 6) AS dist_ratio,
+       CAST(CASE WHEN round(levenshtein(pa.p, pb.p) * 1.0 /
+                  greatest(length(pa.p), length(pb.p), 1), 6) <= 0.2
+                 THEN 1 ELSE 0 END AS INTEGER) AS near_dup
+FROM cands c
+JOIN prefx pa ON pa.doc_id = c.a_id
+JOIN prefx pb ON pb.doc_id = c.b_id
 """
 
     # inbound anchor-text terms: same (href, text) capture pairs zipped
