@@ -799,6 +799,19 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.col("text_len").cast("bigint").alias("text_len"))
 
 
+def q_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 embedding quantization with an exact
+    integer reconstruction-error check.  Codes emitted as a CSV string
+    (array cell renderings differ between the engines' pandas paths)."""
+    from article_extractor_spark.operators.similarity import int8_quantize
+
+    return int8_quantize(_emb(spark, sf_dir)).select(
+        "vec_id", "amax_micro",
+        F.expr("array_join(transform(codes, c -> cast(c as string)), ',')")
+        .alias("codes_csv"),
+        "sq_err_scaled")
+
+
 def q_editdist_verify(spark, sf_dir):
     """Character-level near-dup verification of LSH candidates:
     levenshtein over 256-char prefixes, normalized; catches in-word
@@ -1405,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "anchor_text": q_anchor_text,
         "editdist_verify": q_editdist_verify,
+        "int8_quantize": q_int8_quantize,
         "jpeg_decode": q_jpeg_decode,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
@@ -3611,6 +3625,36 @@ SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(length(coalesce(text, '')) AS BIGINT) AS text_len
 FROM documents
+"""
+
+    # int8 quantization: identical exact-integer round-half-away codes
+    sql["int8_quantize"] = """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, xq,
+         list_max(list_transform(xq, v -> abs(v))) AS amax
+  FROM x
+),
+c AS (
+  SELECT vec_id, xq, amax,
+         list_transform(xq, v -> CAST(CASE WHEN amax = 0 THEN 0
+             WHEN v >= 0 THEN (2 * v * 127 + amax) // (2 * amax)
+             ELSE -((2 * (-v) * 127 + amax) // (2 * amax)) END
+           AS INTEGER)) AS codes
+  FROM a
+)
+SELECT vec_id, CAST(amax AS BIGINT) AS amax_micro,
+       array_to_string(codes, ',') AS codes_csv,
+       CAST(list_sum(list_transform(range(len(xq)), i ->
+              (xq[i + 1] * 127 - CAST(codes[i + 1] AS BIGINT) * amax)
+            * (xq[i + 1] * 127 - CAST(codes[i + 1] AS BIGINT) * amax)))
+         AS BIGINT) AS sq_err_scaled
+FROM c
 """
 
     # edit-distance verification of the same banded candidates

@@ -399,3 +399,45 @@ def random_projection(emb: DataFrame, out_dims: int = 8,
         for j in range(out_dims)
     ]
     return emb.select(F.col(id_col), *comps)
+
+
+def int8_quantize(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transport
+    form ANN services ship embeddings in (4x smaller than float32, SIMD
+    dot products downstream): q[d] = round(x[d] * 127 / amax) with
+    amax = max|x[d]|, zero vectors map to all-zero codes.
+
+    Integer-exact contract (oracle policy): inputs are 1e-6-quantized
+    first (the corpus embeddings are such values already), amax and the
+    codes are then pure integer arithmetic — q[d] = round-half-away of
+    (xq[d] * 127) / amaxq computed as exact bigint division with
+    explicit half-adjustment, so Spark and DuckDB agree bit-for-bit.
+    Emits (vec_id, amax_micro, codes array<int>, sq_err_scaled) where
+    sq_err_scaled = sum((xq*127 - q*amaxq)^2) — the exact integer
+    reconstruction-error numerator (denominator (127*amaxq)^2 is
+    derivable), so quantization quality itself is value-checked.
+
+    Zero shuffle: one projection over the embedding table."""
+    xq = "transform(embedding, v -> cast(round(cast(v as double) * 1000000) as bigint))"
+    amax = f"array_max(transform({xq}, v -> abs(v)))"
+    # round-half-away integer division: (2*n + d) div (2*d) for n>=0,
+    # negated for n<0 (DuckDB mirrors with the same expression)
+    q = (f"transform({xq}, v -> cast(CASE WHEN _amax = 0 THEN 0 "
+         f"WHEN v >= 0 THEN (2 * v * 127 + _amax) div (2 * _amax) "
+         f"ELSE -((2 * (-v) * 127 + _amax) div (2 * _amax)) END as int))")
+    err = ("aggregate(zip_with(_xq, _codes, (x, c) -> "
+           "(x * 127 - cast(c as bigint) * _amax) * "
+           "(x * 127 - cast(c as bigint) * _amax)), "
+           "cast(0 as bigint), (acc, v) -> acc + v)")
+    return (emb
+            .withColumn("_xq", F.expr(xq.replace("embedding", vec_col)))
+            .withColumn("_amax", F.expr("array_max(transform(_xq, v -> abs(v)))"))
+            .withColumn("_codes", F.expr(
+                "transform(_xq, v -> cast(CASE WHEN _amax = 0 THEN 0 "
+                "WHEN v >= 0 THEN (2 * v * 127 + _amax) div (2 * _amax) "
+                "ELSE -((2 * (-v) * 127 + _amax) div (2 * _amax)) END as int))"))
+            .select(F.col(id_col),
+                    F.col("_amax").cast("bigint").alias("amax_micro"),
+                    F.col("_codes").alias("codes"),
+                    F.expr(err).cast("bigint").alias("sq_err_scaled")))

@@ -166,7 +166,7 @@ def main() -> None:
         "jpeg_decode", "video_frames",
         "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
         "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
-        "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify")
+        "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify", "int8_quantize")
     for name in suite:
         fn = qs[name]
         best = None
@@ -194,7 +194,7 @@ def main() -> None:
              "jpeg_decode", "video_frames",
              "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
              "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
-             "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify"}
+             "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify", "int8_quantize"}
     total = round(sum(v for k, v in timings.items() if k not in _info), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
