@@ -631,8 +631,10 @@ def q_ann_recall(spark, sf_dir):
         brute_force_topk, ivf_topk, kmeans_centroids, lsh_topk)
 
     # the local embeddings parquet is one split; the per-row dot products
-    # would serialize on one core without this (no-op on a real table)
-    emb = ensure_min_partitions(_emb(spark, sf_dir))
+    # would serialize on one core without this (no-op on a real table).
+    # localCheckpoint materializes the table once — the three method
+    # pipelines (brute/lsh/ivf) otherwise each replay the scan+fan-out
+    emb = ensure_min_partitions(_emb(spark, sf_dir)).localCheckpoint()
     qs = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     brute = brute_force_topk(emb, qs, k=5).select("q_id", "vec_id")
