@@ -551,3 +551,71 @@ def test_dedup_keep_best_selects_highest_quality(spark):
     out2 = {r.doc_id: r for r in
             dedup_keep_best(docs, clusters, scores2).collect()}
     assert out2[1].keep == 1 and out2[2].keep == 0
+
+
+# --------------------------- tag-index invalidation contract (r4c)
+
+def test_tag_index_invalidation_per_mutation_kind():
+    """Every structural/text mutation kind must invalidate the xpath
+    tag index and the get_content memo — a future mutation path that
+    bypasses the version counter would silently serve stale scans."""
+    from article_extractor_spark.core.dom import Node, parse_html
+    from article_extractor_spark.core.xpath import Context
+
+    def q(doc, xp):
+        return Context(doc).find_nodes(xp)
+
+    doc = parse_html("<html><body><div id='a'><p>one</p></div>"
+                     "<span>s</span></body></html>")
+    assert len(q(doc, "//p")) == 1
+
+    # add_child
+    body = q(doc, "//body")[0]
+    body.add_child(Node.new_element("p", doc))
+    assert len(q(doc, "//p")) == 2
+
+    # set_name
+    q(doc, "//span")[0].set_name("p")
+    assert len(q(doc, "//p")) == 3
+
+    # unlink
+    q(doc, "//p")[0].unlink()
+    assert len(q(doc, "//p")) == 2
+
+    # insert_before
+    ref = q(doc, "//p")[0]
+    ref.get_parent().insert_before(Node.new_element("p", doc), ref)
+    assert len(q(doc, "//p")) == 3
+
+    # replace_child_node
+    tgt = q(doc, "//p")[-1]
+    tgt.get_parent().replace_child_node(Node.new_element("em", doc), tgt)
+    assert len(q(doc, "//p")) == 2
+    assert len(q(doc, "//em")) == 1
+
+    # set_content must invalidate the subtree-text memo — including on
+    # ANCESTORS of the mutated node (body's memo covers the div)
+    body2 = q(doc, "//body")[0]
+    before = body2.get_content()
+    div = q(doc, "//div")[0]
+    div.set_content("changed text")
+    assert body2.get_content() != before
+    assert "changed text" in body2.get_content()
+    # TEXT-node set_content path (direct .text write) invalidates too
+    warm = body2.get_content()
+    div.get_child_nodes()[0].set_content("rewritten")
+    assert "rewritten" in body2.get_content() and warm != body2.get_content()
+
+
+def test_tag_index_not_shared_across_documents():
+    from article_extractor_spark.core.dom import parse_html
+    from article_extractor_spark.core.xpath import Context
+
+    d1 = parse_html("<html><body><p>a</p></body></html>")
+    d2 = parse_html("<html><body><p>b</p><p>c</p></body></html>")
+    assert len(Context(d1).find_nodes("//p")) == 1
+    assert len(Context(d2).find_nodes("//p")) == 2
+    # interleaved re-query after mutating only d2
+    Context(d2).find_nodes("//p")[0].unlink()
+    assert len(Context(d1).find_nodes("//p")) == 1
+    assert len(Context(d2).find_nodes("//p")) == 1
