@@ -80,8 +80,11 @@ class Node:
 
     def set_name(self, name: str) -> None:
         global _MUTVER
-        _MUTVER += 1
         self.name = name
+        # bump AFTER the mutation: a reader building a cache between the
+        # bump and the change would otherwise pin a stale snapshot under
+        # the new version (same ordering in every mutation method below)
+        _MUTVER += 1
 
     def is_element(self) -> bool:
         return self.type == ELEMENT_NODE
@@ -127,13 +130,13 @@ class Node:
 
     def set_content(self, content: str) -> None:
         global _MUTVER
-        _MUTVER += 1  # text change invalidates get_content memos
         if self.type == TEXT_NODE:
             self.text = content
+            _MUTVER += 1  # text change invalidates get_content memos
             return
         self.children = []
         t = Node.new_text(content, self.doc)
-        self.add_child(t)
+        self.add_child(t)  # bumps _MUTVER after the structural change
 
     # ---- attributes ----------------------------------------------------
     def get_attribute(self, name: str) -> Optional[str]:
@@ -239,7 +242,6 @@ class Node:
     # ---- mutation --------------------------------------------------------
     def unlink(self) -> None:
         global _MUTVER
-        _MUTVER += 1
         if self.parent is not None:
             try:
                 i = self._sibling_index()
@@ -247,14 +249,15 @@ class Node:
             except ValueError:
                 pass
             self.parent = None
+        _MUTVER += 1
 
     def add_child(self, child: "Node") -> None:
         global _MUTVER
-        _MUTVER += 1
         child.unlink()
         child.parent = self
         child._idx = len(self.children)
         self.children.append(child)
+        _MUTVER += 1
 
     def new_child(self, _ns, name: str) -> "Node":
         n = Node.new_element(name, self.doc)
@@ -274,17 +277,16 @@ class Node:
 
     def insert_before(self, new: "Node", ref: "Node") -> None:
         global _MUTVER
-        _MUTVER += 1
         new.unlink()
         i = ref._sibling_index()
         new.parent = self
         new._idx = i
         self.children.insert(i, new)
+        _MUTVER += 1
 
     def replace_child_node(self, new: "Node", old: "Node") -> "Node":
         """Replace ``old`` (a child of self) with ``new``; returns old."""
         global _MUTVER
-        _MUTVER += 1
         i = old._sibling_index()
         if old.parent is not self:
             raise ValueError("old is not a child of self")
@@ -293,6 +295,7 @@ class Node:
         new._idx = i
         self.children[i] = new
         old.parent = None
+        _MUTVER += 1
         return old
 
     # ---- traversal helpers -----------------------------------------------
@@ -323,8 +326,8 @@ class Document:
 
     def set_root_element(self, node: Node) -> None:
         global _MUTVER
-        _MUTVER += 1
         self.root = node
+        _MUTVER += 1
 
     def dup(self) -> "Document":
         d = Document()

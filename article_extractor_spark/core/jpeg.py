@@ -52,9 +52,33 @@ AC_LUM_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Example chrominance Huffman tables, T.81 Annex K.3.2 (public spec tables).
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 # DC quant step 8 == the 8x8 DCT's DC gain, so constant blocks roundtrip
 # exactly; AC steps are conventional mid-quality values (any value works
-# for constant blocks — their AC coefficients are zero).
+# for constant blocks — their AC coefficients are zero).  The same table
+# serves luma and chroma so constant-MCU color images roundtrip exactly
+# too (a conventional chroma table would only change lossy-path fidelity).
 DEFAULT_QTABLE = [8] + [16] * 63
 
 
@@ -185,6 +209,66 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _round_half_away(c: float) -> int:
+    return int(math.floor(c + 0.5)) if c >= 0 else -int(math.floor(-c + 0.5))
+
+
+def _encode_block(bw: "_BitWriter", block: List[float], q: List[int],
+                  dc_codes: Dict[int, Tuple[int, int]],
+                  ac_codes: Dict[int, Tuple[int, int]], pred: int) -> int:
+    """FDCT + quantize + entropy-code one level-shifted 8x8 block;
+    returns the new DC predictor for this block's component."""
+    coef = _fdct8x8(block)
+    qc = [0] * 64
+    for i in range(64):
+        qc[i] = _round_half_away(coef[ZIGZAG[i]] / q[ZIGZAG[i]])
+    diff = qc[0] - pred
+    pred = qc[0]
+    cat, mbits = _magnitude(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(mbits, cat)
+    run = 0
+    for i in range(1, 64):
+        if qc[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        cat, mbits = _magnitude(qc[i])
+        code, length = ac_codes[(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(mbits, cat)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return pred
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> Tuple[int, int, int]:
+    """JFIF (ITU-R BT.601 full-range) RGB -> YCbCr, round-half-away."""
+    y = _round_half_away(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = _round_half_away(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+    cr = _round_half_away(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> Tuple[int, int, int]:
+    """JFIF YCbCr -> RGB (inverse BT.601), round-half-away + clamp."""
+    r = _round_half_away(y + 1.402 * (cr - 128))
+    g = _round_half_away(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = _round_half_away(y + 1.772 * (cb - 128))
+    return _clamp8(r), _clamp8(g), _clamp8(b)
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                      qtable: List[int] | None = None) -> bytes:
     """Encode 8-bit grayscale ``pixels`` (row-major, len == w*h) to a
@@ -231,57 +315,121 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
                 for x in range(8):
                     sx = min(bx * 8 + x, width - 1)
                     block[y * 8 + x] = pixels[sy * width + sx] - 128.0
-            coef = _fdct8x8(block)
-            qc = [0] * 64
-            for i in range(64):
-                c = coef[ZIGZAG[i]] / q[ZIGZAG[i]]
-                qc[i] = int(math.floor(c + 0.5)) if c >= 0 else \
-                    -int(math.floor(-c + 0.5))
-            # DC
-            diff = qc[0] - pred
-            pred = qc[0]
-            cat, mbits = _magnitude(diff)
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(mbits, cat)
-            # AC: run-length with ZRL and EOB
-            run = 0
-            for i in range(1, 64):
-                if qc[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat, mbits = _magnitude(qc[i])
-                code, length = ac_codes[(run << 4) | cat]
-                bw.write(code, length)
-                bw.write(mbits, cat)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            pred = _encode_block(bw, block, q, dc_codes, ac_codes, pred)
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
 
 
-def decode_jpeg_gray(data: bytes) -> Tuple[int, int, bytes]:
-    """Decode a baseline sequential grayscale JPEG.  Returns
-    (width, height, row-major 8-bit pixels).  Parses DQT/DHT/SOF0/SOS
-    markers generically (any conforming single-component baseline
-    stream, not just this module's encoder output)."""
+def encode_jpeg_color(width: int, height: int, rgb: bytes,
+                      qtable: List[int] | None = None) -> bytes:
+    """Encode interleaved 8-bit RGB ``rgb`` (row-major, len == w*h*3) to
+    a baseline sequential YCbCr 4:2:0 JPEG: BT.601 color conversion,
+    2x2 chroma subsampling (rounded mean), interleaved 16x16 MCUs
+    (Y1 Y2 Y3 Y4 Cb Cr), luminance Huffman/quant tables for Y and the
+    Annex K.3.2 chrominance Huffman tables for Cb/Cr.  Fully general
+    (lossy on arbitrary content); constant-color MCUs roundtrip exactly
+    with the default tables (DC step == DCT DC gain)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    q = list(qtable or DEFAULT_QTABLE)
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    n = width * height
+    yp = bytearray(n)
+    cbf = bytearray(n)
+    crf = bytearray(n)
+    for i in range(n):
+        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        yp[i] = y
+        cbf[i] = cb
+        crf[i] = cr
+    # 2x2 chroma subsample: rounded mean with edge replication
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cbs = bytearray(cw * ch)
+    crs = bytearray(cw * ch)
+    for cy in range(ch):
+        y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
+        for cx in range(cw):
+            x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
+            for src, dst in ((cbf, cbs), (crf, crs)):
+                s = (src[y0 * width + x0] + src[y0 * width + x1]
+                     + src[y1 * width + x0] + src[y1 * width + x1])
+                dst[cy * cw + cx] = (s + 2) // 4
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    for tq in (0, 1):  # DQT: luma table 0, chroma table 1 (same values)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + zz_q
+    # SOF0: 3 components, Y 2x2 / Cb 1x1 / Cr 1x1
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    # DHT: DC/AC luminance (class 0), DC/AC chrominance (class 1)
+    for tc_th, bits, vals in ((0x00, DC_LUM_BITS, DC_LUM_VALS),
+                              (0x10, AC_LUM_BITS, AC_LUM_VALS),
+                              (0x01, DC_CHR_BITS, DC_CHR_VALS),
+                              (0x11, AC_CHR_BITS, AC_CHR_VALS)):
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    # SOS: Y uses tables 0/0, chroma 1/1
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chr = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    def block_at(plane: bytearray, pw: int, ph: int, ox: int,
+                 oy: int) -> List[float]:
+        b = [0.0] * 64
+        for y in range(8):
+            sy = min(oy + y, ph - 1)
+            for x in range(8):
+                sx = min(ox + x, pw - 1)
+                b[y * 8 + x] = plane[sy * pw + sx] - 128.0
+        return b
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range((height + 15) // 16):
+        for mx in range((width + 15) // 16):
+            for by in range(2):  # 4 luma blocks, raster order in the MCU
+                for bx in range(2):
+                    preds[0] = _encode_block(
+                        bw, block_at(yp, width, height,
+                                     mx * 16 + bx * 8, my * 16 + by * 8),
+                        q, dc_lum, ac_lum, preds[0])
+            preds[1] = _encode_block(
+                bw, block_at(cbs, cw, ch, mx * 8, my * 8),
+                q, dc_chr, ac_chr, preds[1])
+            preds[2] = _encode_block(
+                bw, block_at(crs, cw, ch, mx * 8, my * 8),
+                q, dc_chr, ac_chr, preds[2])
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG (1- or 3-component, any
+    sampling factors in a single interleaved scan).  Returns
+    (width, height, n_components, pixels) — row-major 8-bit grayscale
+    for 1 component, interleaved RGB (BT.601 inverse conversion,
+    nearest-neighbor chroma upsampling) for 3.  Parses
+    DQT/DHT/SOF0/SOS markers generically (any conforming classic
+    baseline stream, not just this module's encoders' output)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: Dict[int, List[int]] = {}
     huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     width = height = 0
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: List[Tuple[int, int, int, int]] = []  # (cid, H, V, tq)
+    scan: List[Tuple[int, int, int]] = []        # (cid, dc_id, ac_id)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -323,35 +471,51 @@ def decode_jpeg_gray(data: bytes) -> Tuple[int, int, bytes]:
                 ">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) "
-                                 "baseline JPEG supported")
-            _cid, hv, comp_q = seg[6], seg[7], seg[8]
-            if hv != 0x11:
-                raise ValueError("subsampling not supported for "
-                                 "single-component streams")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG not supported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            pos += seglen
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", seg[:2])[0]:
+                raise ValueError("restart intervals not supported")
             pos += seglen
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("one scan component expected")
-            tsel = seg[2]
-            dc_id, ac_id = tsel >> 4, tsel & 0x0F
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans not supported")
+            for c in range(ns):
+                cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cid, tsel >> 4, tsel & 0x0F))
             pos += seglen
             break
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline frame marker FF{marker:02X}")
-        else:  # APPn / COM / DRI etc. — skip
+        else:  # APPn / COM etc. — skip
             pos += seglen
     else:
         raise ValueError("no SOS marker")
 
-    if not width or comp_q not in qtables:
-        raise ValueError("missing SOF0 or quant table")
-    dc_tab = huff[(0, dc_id)]
-    ac_tab = huff[(1, ac_id)]
-    q = qtables[comp_q]
+    if not width or not comps:
+        raise ValueError("missing SOF0")
+    by_cid = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    hmax = max(hc for _, hc, _, _ in comps)
+    vmax = max(vc for _, _, vc, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded plane + table selections, in SOS order
+    planes: Dict[int, Tuple[bytearray, int, int]] = {}
+    tables = []
+    for cid, dc_id, ac_id in scan:
+        hc, vc, tq = by_cid[cid]
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        pw, ph = mcux * hc * 8, mcuy * vc * 8
+        planes[cid] = (bytearray(pw * ph), pw, ph)
+        tables.append((cid, hc, vc, qtables[tq],
+                       huff[(0, dc_id)], huff[(1, ac_id)]))
     br = _BitReader(data, pos)
 
     def read_symbol(tab: Dict[Tuple[int, int], int]) -> int:
@@ -363,43 +527,74 @@ def decode_jpeg_gray(data: bytes) -> Tuple[int, int, bytes]:
                 return sym
         raise ValueError("invalid Huffman code")
 
-    img = bytearray(width * height)
-    pred = 0
-    bx_count = (width + 7) // 8
-    by_count = (height + 7) // 8
-    for by in range(by_count):
-        for bx in range(bx_count):
-            zz = [0] * 64
-            t = read_symbol(dc_tab)
-            pred += _extend(br.bits(t), t)
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                rs = read_symbol(ac_tab)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        i += 16
-                        continue
-                    break  # EOB
-                i += r
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(br.bits(s), s)
-                i += 1
-            coef = [0.0] * 64
-            for j in range(64):
-                coef[ZIGZAG[j]] = zz[j] * q[ZIGZAG[j]]
-            spatial = _idct8x8(coef)
-            for y in range(8):
-                py = by * 8 + y
-                if py >= height:
-                    break
-                row = py * width
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= width:
-                        break
-                    v = int(math.floor(spatial[y * 8 + x] + 128.5))
-                    img[row + px] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, bytes(img)
+    preds = {cid: 0 for cid, _, _ in scan}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hc, vc, q, dc_tab, ac_tab in tables:
+                plane, pw, _ph = planes[cid]
+                for by in range(vc):
+                    for bx in range(hc):
+                        zz = [0] * 64
+                        t = read_symbol(dc_tab)
+                        preds[cid] += _extend(br.bits(t), t)
+                        zz[0] = preds[cid]
+                        i = 1
+                        while i < 64:
+                            rs = read_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    i += 16
+                                    continue
+                                break  # EOB
+                            i += r
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            zz[i] = _extend(br.bits(s), s)
+                            i += 1
+                        coef = [0.0] * 64
+                        for j in range(64):
+                            coef[ZIGZAG[j]] = zz[j] * q[ZIGZAG[j]]
+                        spatial = _idct8x8(coef)
+                        oy = (my * vc + by) * 8
+                        ox = (mx * hc + bx) * 8
+                        for y in range(8):
+                            row = (oy + y) * pw + ox
+                            for x in range(8):
+                                v = int(math.floor(spatial[y * 8 + x]
+                                                   + 128.5))
+                                plane[row + x] = _clamp8(v)
+
+    if len(comps) == 1:
+        plane, pw, _ph = planes[comps[0][0]]
+        img = bytearray(width * height)
+        for y in range(height):
+            img[y * width:(y + 1) * width] = plane[y * pw:y * pw + width]
+        return width, height, 1, bytes(img)
+
+    # 3 components: nearest-neighbor chroma upsample + YCbCr -> RGB
+    (cid_y, hy, vy, _), (cid_b, hb, vb, _), (cid_r, hr, vr, _) = comps
+    py, pwy, _ = planes[cid_y]
+    pb, pwb, _ = planes[cid_b]
+    pr, pwr, _ = planes[cid_r]
+    img = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            yv = py[(y * vy // vmax) * pwy + (x * hy // hmax)]
+            cb = pb[(y * vb // vmax) * pwb + (x * hb // hmax)]
+            cr = pr[(y * vr // vmax) * pwr + (x * hr // hmax)]
+            r, g, b = ycbcr_to_rgb(yv, cb, cr)
+            o = (y * width + x) * 3
+            img[o] = r
+            img[o + 1] = g
+            img[o + 2] = b
+    return width, height, 3, bytes(img)
+
+
+def decode_jpeg_gray(data: bytes) -> Tuple[int, int, bytes]:
+    """Decode a baseline sequential grayscale JPEG.  Returns
+    (width, height, row-major 8-bit pixels)."""
+    width, height, ncomp, px = decode_jpeg(data)
+    if ncomp != 1:
+        raise ValueError("not a grayscale JPEG")
+    return width, height, px

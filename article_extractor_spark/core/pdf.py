@@ -101,12 +101,6 @@ def encode_pdf(pages: List[List[TextRun]],
 
 # --------------------------------------------------------------- parser
 
-_TOKEN_RE = re.compile(
-    rb"<<|>>|\[|\]|/[^\s/<>\[\]()]*|\(|<[0-9A-Fa-f\s]*>|"
-    rb"[-+]?[0-9]*\.?[0-9]+|R\b|obj\b|endobj\b|stream\b|true|false|null|"
-    rb"[A-Za-z'\"*]+")
-
-
 class _Ref:
     __slots__ = ("num",)
 
@@ -240,10 +234,17 @@ class _Pdf:
                 length = self.resolve(val.get("/Length"))
                 start = pos + m2.end()
                 raw = self.data[start:start + int(length)]
-                if val.get("/Filter") == "/FlateDecode":
-                    raw = zlib.decompress(raw)
-                elif "/Filter" in val:
-                    raise ValueError(f"unsupported filter {val['/Filter']}")
+                filt = self.resolve(val.get("/Filter"))
+                # normalize: /Filter accepts a single name OR an array of
+                # names (ISO 32000-1 7.3.8.2); one-element arrays are the
+                # common equally-conforming generator variant
+                filters = (filt if isinstance(filt, list)
+                           else [] if filt is None else [filt])
+                for f in filters:
+                    if f == "/FlateDecode":
+                        raw = zlib.decompress(raw)
+                    else:
+                        raise ValueError(f"unsupported filter {f}")
                 val["__stream__"] = raw
         return val
 

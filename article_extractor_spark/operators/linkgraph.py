@@ -156,6 +156,9 @@ def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .agg(F.sum("_c").cast("bigint").alias("_raw"))
             .localCheckpoint())
         mx = raw.agg(F.max("_raw")).first()[0]
+        if not mx:  # empty edge list or all-zero scores: all-zero half
+            return nodes.select("host",
+                                F.lit(0).cast("bigint").alias(out_col))
         return (nodes.join(raw, "host", "left")
                 .select("host",
                         F.expr(f"CAST((coalesce(_raw, 0L) * 1000000) "

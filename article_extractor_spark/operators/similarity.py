@@ -419,24 +419,21 @@ def int8_quantize(emb: DataFrame, id_col: str = "vec_id",
     derivable), so quantization quality itself is value-checked.
 
     Zero shuffle: one projection over the embedding table."""
-    xq = "transform(embedding, v -> cast(round(cast(v as double) * 1000000) as bigint))"
-    amax = f"array_max(transform({xq}, v -> abs(v)))"
+    xq = (f"transform({vec_col}, "
+          "v -> cast(round(cast(v as double) * 1000000) as bigint))")
     # round-half-away integer division: (2*n + d) div (2*d) for n>=0,
     # negated for n<0 (DuckDB mirrors with the same expression)
-    q = (f"transform({xq}, v -> cast(CASE WHEN _amax = 0 THEN 0 "
-         f"WHEN v >= 0 THEN (2 * v * 127 + _amax) div (2 * _amax) "
-         f"ELSE -((2 * (-v) * 127 + _amax) div (2 * _amax)) END as int))")
+    q = ("transform(_xq, v -> cast(CASE WHEN _amax = 0 THEN 0 "
+         "WHEN v >= 0 THEN (2 * v * 127 + _amax) div (2 * _amax) "
+         "ELSE -((2 * (-v) * 127 + _amax) div (2 * _amax)) END as int))")
     err = ("aggregate(zip_with(_xq, _codes, (x, c) -> "
            "(x * 127 - cast(c as bigint) * _amax) * "
            "(x * 127 - cast(c as bigint) * _amax)), "
            "cast(0 as bigint), (acc, v) -> acc + v)")
     return (emb
-            .withColumn("_xq", F.expr(xq.replace("embedding", vec_col)))
+            .withColumn("_xq", F.expr(xq))
             .withColumn("_amax", F.expr("array_max(transform(_xq, v -> abs(v)))"))
-            .withColumn("_codes", F.expr(
-                "transform(_xq, v -> cast(CASE WHEN _amax = 0 THEN 0 "
-                "WHEN v >= 0 THEN (2 * v * 127 + _amax) div (2 * _amax) "
-                "ELSE -((2 * (-v) * 127 + _amax) div (2 * _amax)) END as int))"))
+            .withColumn("_codes", F.expr(q))
             .select(F.col(id_col),
                     F.col("_amax").cast("bigint").alias("amax_micro"),
                     F.col("_codes").alias("codes"),

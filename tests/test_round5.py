@@ -1,0 +1,251 @@
+"""Round-5 additions: color JPEG (YCbCr 4:2:0), JPEG phash routing,
+PDF /Filter array form, host_hits empty-graph guard, mutation-counter
+ordering, and (added below as the round progresses) BPE tokenization,
+foreign-PDF fixtures, and the e2e curation chain."""
+
+import random
+import struct
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-round5-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+# ---------------------------------------------------------------- jpeg color
+
+def test_palette_roundtrips_ycbcr_exactly():
+    """Every palette triple must survive rgb -> ycbcr -> rgb unchanged —
+    the premise of the jpeg_color_decode formula oracle."""
+    from article_extractor_spark.core.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+    from article_extractor_spark.operators.multimodal import JPEG_PALETTE
+
+    assert len(JPEG_PALETTE) == 8
+    assert len(set(JPEG_PALETTE)) == 8
+    for rgb in JPEG_PALETTE:
+        assert ycbcr_to_rgb(*rgb_to_ycbcr(*rgb)) == rgb
+
+
+def test_color_jpeg_constant_mcu_roundtrip_exact():
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   encode_jpeg_color)
+    from article_extractor_spark.operators.multimodal import JPEG_PALETTE
+
+    w, h = 48, 32
+    rgb = bytearray(w * h * 3)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            c = JPEG_PALETTE[(mx * 5 + my * 3) % 8]
+            for y in range(16):
+                for x in range(16):
+                    o = ((my * 16 + y) * w + mx * 16 + x) * 3
+                    rgb[o:o + 3] = bytes(c)
+    dw, dh, nc, out = decode_jpeg(encode_jpeg_color(w, h, bytes(rgb)))
+    assert (dw, dh, nc) == (w, h, 3)
+    assert out == bytes(rgb)
+
+
+def test_color_jpeg_odd_dimensions():
+    """Non-multiple-of-16 dims exercise edge replication in both the
+    luma MCU fill and the chroma subsample; decoded size must match and
+    the constant color must survive."""
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   encode_jpeg_color)
+
+    w, h = 19, 13
+    c = (255, 156, 0)
+    rgb = bytes(c) * (w * h)
+    dw, dh, nc, out = decode_jpeg(encode_jpeg_color(w, h, rgb))
+    assert (dw, dh, nc) == (w, h, 3)
+    assert out == rgb
+
+
+def test_color_jpeg_lossy_on_general_content_but_bounded():
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   encode_jpeg_color)
+
+    rnd = random.Random(7)
+    w = h = 24
+    # smooth gradient: codec should track it closely
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes((min(255, 4 * x + 2 * y), min(255, 3 * y),
+                          min(255, 200 - 2 * x if 200 - 2 * x > 0 else 0)))
+    dw, dh, nc, out = decode_jpeg(encode_jpeg_color(w, h, bytes(rgb)))
+    assert (dw, dh, nc) == (w, h, 3)
+    mse = sum((a - b) ** 2 for a, b in zip(out, rgb)) / len(rgb)
+    assert 0 < mse < 400, mse
+    # pure noise is the worst case but must still decode to same shape
+    noise = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    dw, dh, nc, out2 = decode_jpeg(encode_jpeg_color(w, h, noise))
+    assert (dw, dh, nc) == (w, h, 3)
+
+
+def test_decode_jpeg_handles_gray_and_rejects_progressive_and_dri():
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   decode_jpeg_gray,
+                                                   encode_jpeg_gray)
+
+    w, h = 16, 8
+    px = bytes((i * 7) % 256 for i in range(w * h))
+    data = encode_jpeg_gray(w, h, px)
+    dw, dh, nc, raw = decode_jpeg(data)
+    assert (dw, dh, nc) == (w, h, 1)
+    assert raw == decode_jpeg_gray(data)[2]
+    # progressive SOF2 marker must be rejected cleanly
+    prog = data.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+    # nonzero DRI interval is unsupported (declared seam, not a crash)
+    dri = data[:2] + b"\xFF\xDD\x00\x04\x00\x08" + data[2:]
+    with pytest.raises(ValueError):
+        decode_jpeg(dri)
+
+
+def test_decode_image_real_falls_back_on_unsupported_jpeg():
+    """ADVICE r4: an FF D8 payload the built-in codec cannot parse must
+    not raise ValueError when PIL could handle it; without PIL the
+    declared NotImplementedError seam fires (not a codec crash)."""
+    from article_extractor_spark.operators.multimodal import \
+        decode_image_real
+
+    bogus = b"\xFF\xD8\xFF\xC2" + b"\x00\x08" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        with pytest.raises(Exception):  # PIL also rejects truncated junk
+            decode_image_real(bogus)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(bogus)
+
+
+def test_jpeg_color_corruption_fails_clean():
+    """Bit flips in the entropy segment must raise or change pixels —
+    never crash the interpreter or hang."""
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   encode_jpeg_color)
+
+    w = h = 16
+    rgb = bytes((150, 0, 255)) * (w * h)
+    data = bytearray(encode_jpeg_color(w, h, rgb))
+    rnd = random.Random(3)
+    for _ in range(25):
+        mut = bytearray(data)
+        i = rnd.randrange(len(mut) - 3)
+        mut[i] ^= 1 << rnd.randrange(8)
+        try:
+            decode_jpeg(bytes(mut))
+        except (ValueError, IndexError, KeyError, struct.error):
+            pass
+
+
+# ---------------------------------------------------------------- pdf filter
+
+def test_pdf_filter_array_form():
+    """/Filter [/FlateDecode] (array form, ISO 32000-1 7.3.8.2) must
+    parse identically to the single-name form."""
+    from article_extractor_spark.core.pdf import extract_pdf_text
+
+    # hand-built minimal PDF whose stream dict uses the array form
+    # (patching the writer's output would shift every xref offset)
+    import zlib
+    content = b"BT /F1 12 Tf 72 720 Td (array filter ok) Tj ET"
+    comp = zlib.compress(content)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(comp)).encode()
+            + b" /Filter [/FlateDecode] >>\nstream\n" + comp
+            + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i in range(1, 5):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + objs[i] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 5\n" + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    pages = extract_pdf_text(bytes(out))
+    assert pages == ["array filter ok"]
+
+
+# ------------------------------------------------------------ host_hits guard
+
+def test_host_hits_empty_edges(spark):
+    """ADVICE r4: an empty edge list must yield an empty (or all-zero)
+    result, not an unparseable 'DIV None' AnalysisException."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from article_extractor_spark.operators.linkgraph import host_hits
+
+    schema = StructType([
+        StructField("src_host", StringType()),
+        StructField("dst_host", StringType()),
+        StructField("n_links", LongType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert host_hits(empty).count() == 0
+
+
+def test_host_hits_zero_scores(spark):
+    """All-zero n_links weights: max is 0 — must short-circuit to zero
+    scores instead of dividing by zero into NULLs."""
+    from article_extractor_spark.operators.linkgraph import host_hits
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 0), ("b.com", "c.com", 0)],
+        "src_host string, dst_host string, n_links long")
+    rows = host_hits(edges).collect()
+    assert len(rows) == 3
+    assert all(r.authority_micro == 0 and r.hub_micro == 0 for r in rows)
+
+
+# ------------------------------------------------------- mutation counter
+
+def test_mutver_bumps_after_mutation():
+    """ADVICE r4: the version must change only once the structural
+    change is visible, so a cache keyed on the pre-mutation version can
+    never capture the post-mutation tree (and vice versa)."""
+    from article_extractor_spark.core import dom
+
+    d = dom.Document()
+    root = dom.Node.new_element("div", d)
+    d.set_root_element(root)
+    child = dom.Node.new_element("p", d)
+
+    before = dom._MUTVER
+    root.add_child(child)
+    assert dom._MUTVER > before
+    # get_content memo keyed on the current version must see the child
+    t = dom.Node.new_text("x", d)
+    child.add_child(t)
+    assert root.get_content() == "x"
+    ver = dom._MUTVER
+    assert root.get_content() == "x"  # memo hit, version unchanged
+    assert dom._MUTVER == ver
+    child.unlink()
+    assert root.get_content() == ""
