@@ -1172,6 +1172,76 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), ctx_len=4096)
 
 
+# Fixed tokenizer-gate corpus: every BPE edge class — learned whole
+# words, partial merges, <unk> chars (digits / uppercase / punctuation /
+# untrained letters), the empty string, concatenations forcing
+# longest-merge decisions, and repeated tokens.  Expected ids in the
+# oracles were generated by an INDEPENDENT reference (apply merges
+# sequentially in training order — classic subword-nmt apply_bpe shape),
+# not by the operator under test.
+BPE_TEST_CORPUS = [
+    "the quick spark query",
+    "spark spark spark sparks",
+    "customer data stream window",
+    "window order sort merge hash join",
+    "a1b2c3 999",
+    "hello, world! (parens) [brackets]",
+    "",
+    "zzzz xyz",
+    "tablesmalldata bigrow",
+    "querying filters sorted streaming",
+    "THE QUICK Spark Query",
+    "value key line dup agg column scan",
+    "partition repartition prepartitioned",
+    "un-merge-able:!@#",
+    "a b c d e f g",
+    "groupquerygroup",
+]
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """REAL BPE subword tokenization with exact token ids (greedy
+    lowest-rank merges over the literal trained vocab): the fixed edge-
+    case corpus runs through the distributed Arrow tokenizer; the oracle
+    embeds ids from an independent sequential-apply reference."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+    from article_extractor_spark.operators.tokenizer import bpe_token_ids
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(BPE_TEST_CORPUS)],
+        "sid long, text string")
+    out = bpe_token_ids(ensure_min_partitions(corpus), id_col="sid")
+    # exact ids as CSV — the driver's value hash compares array columns
+    # by engine-native repr, so both sides emit the same string form
+    # (same pattern as int8_quantize's codes_csv)
+    return out.select(F.col("doc_id").alias("sid"), "n_bpe_tokens",
+                      F.array_join("token_ids", ",").alias("token_ids_csv"))
+
+
+def q_pack_bpe(spark, sf_dir):
+    """Sequence packing budgeted on REAL BPE token counts (the form a
+    training pipeline actually packs): docs carry corpus strings keyed
+    by doc_id, the tokenizer counts exact subword ids per doc in Arrow
+    batches, and the two-level prefix sum chunks them into 512-token
+    contexts.  The oracle joins precomputed per-string counts and
+    replays the cumsum — so tokenizer AND packing must both be right."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.packing import pack_counts
+    from article_extractor_spark.operators.tokenizer import bpe_token_counts
+
+    docs = _docs(spark, sf_dir)
+    arr = F.array(*[F.lit(s) for s in BPE_TEST_CORPUS])
+    seqs = docs.select(
+        "doc_id",
+        F.element_at(arr, (F.col("doc_id") % 16 + 1).cast("int"))
+        .alias("text"))
+    counts = bpe_token_counts(seqs)
+    return pack_counts(counts, count_col="n_bpe_tokens", ctx_len=512)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: for each event, the most recent crawl
     (warc_ts <= event ts) of its key class — the temporal-join primitive
@@ -1445,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "jpeg_color_decode": q_jpeg_color_decode,
         "jpeg_phash": q_jpeg_phash,
+        "bpe_tokens": q_bpe_tokens,
+        "pack_bpe": q_pack_bpe,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
         "dup_spans": q_dup_spans,
@@ -2823,6 +2895,58 @@ SELECT doc_id, n_tokens,
        cum - n_tokens AS global_start,
        CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_first,
        CAST(floor((cum - 1) / 4096.0) AS BIGINT) AS pack_last
+FROM c
+"""
+
+    # exact BPE ids for BPE_TEST_CORPUS, generated by the independent
+    # sequential-apply reference (see q_bpe_tokens docstring)
+    sql["bpe_tokens"] = """
+SELECT CAST(sid AS BIGINT) AS sid,
+       CAST(n AS INTEGER) AS n_bpe_tokens,
+       coalesce(array_to_string(ids, ','), '') AS token_ids_csv
+FROM (VALUES
+  (0, 8, [90, 17, 21, 9, 3, 11, 92, 68]),
+  (1, 5, [92, 92, 92, 92, 19]),
+  (2, 4, [111, 105, 82, 44]),
+  (3, 6, [44, 46, 48, 63, 76, 61]),
+  (4, 9, [1, 0, 2, 0, 3, 0, 0, 0, 0]),
+  (5, 26, [8, 5, 12, 12, 15, 0, 23, 26, 12, 4, 0, 0, 32, 5, 14, 19, 0,
+           0, 2, 18, 1, 3, 58, 20, 19, 0]),
+  (6, 0, []::INTEGER[]),
+  (7, 7, [0, 0, 0, 0, 0, 24, 0]),
+  (8, 5, [99, 103, 105, 107, 112]),
+  (9, 11, [68, 27, 7, 86, 19, 48, 5, 4, 82, 27, 7]),
+  (10, 13, [0, 0, 0, 0, 0, 0, 0, 0, 0, 32, 11, 0, 65]),
+  (11, 7, [55, 59, 57, 113, 52, 41, 37]),
+  (12, 25, [50, 9, 20, 9, 15, 14, 18, 5, 50, 9, 20, 9, 15, 14, 16, 18,
+            5, 50, 9, 20, 9, 15, 14, 5, 4]),
+  (13, 13, [21, 14, 0, 63, 0, 1, 2, 12, 5, 0, 0, 0, 0]),
+  (14, 7, [1, 2, 3, 4, 5, 6, 7]),
+  (15, 3, [69, 68, 69])
+) t(sid, n, ids)
+"""
+
+    # packing over REAL BPE counts: per-string counts precomputed by the
+    # independent reference, straight cumsum in doc order
+    sql["pack_bpe"] = """
+WITH counts(k, n) AS (VALUES
+  (0, 8), (1, 5), (2, 4), (3, 6), (4, 9), (5, 26), (6, 0), (7, 7),
+  (8, 5), (9, 11), (10, 13), (11, 7), (12, 25), (13, 13), (14, 7),
+  (15, 3)),
+t AS (
+  SELECT d.doc_id, c.n
+  FROM documents d JOIN counts c ON c.k = d.doc_id % 16
+),
+c AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t WHERE n > 0
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS global_start,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_first,
+       CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last
 FROM c
 """
 

@@ -38,8 +38,22 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     n_tokens = F.size(F.expr(
         f"regexp_extract_all(coalesce({text_col}, ''), '{TOKEN_RE}', 0)"
     )).cast("long")
-    toks = df.select(F.col(id_col), n_tokens.alias("n_tokens")) \
-             .where(F.col("n_tokens") > 0)
+    toks = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    return pack_counts(toks, id_col=id_col, ctx_len=ctx_len,
+                       num_buckets=num_buckets)
+
+
+def pack_counts(toks: DataFrame, id_col: str = "doc_id",
+                count_col: str = "n_tokens", ctx_len: int = 4096,
+                num_buckets: int = 64) -> DataFrame:
+    """Pack pre-counted documents: same two-level prefix sum as
+    :func:`pack_sequences` but over an arbitrary per-doc token-count
+    column — the budget source can be the regex count, real BPE counts
+    (:func:`article_extractor_spark.operators.tokenizer.bpe_token_counts`),
+    or anything else exact-integer."""
+    toks = (toks.select(F.col(id_col),
+                        F.col(count_col).cast("long").alias("n_tokens"))
+            .where(F.col("n_tokens") > 0))
 
     # order-preserving range bucketing: bucket asc, id asc == global id order
     hi = toks.agg(F.max(id_col).alias("m")).collect()[0]["m"]

@@ -249,3 +249,100 @@ def test_mutver_bumps_after_mutation():
     assert dom._MUTVER == ver
     child.unlink()
     assert root.get_content() == ""
+
+
+# ---------------------------------------------------------------- bpe
+
+def _sequential_apply_reference(word):
+    """Independent BPE reference: apply merges one at a time in training
+    order (subword-nmt apply_bpe shape) — equivalent to the operator's
+    greedy lowest-rank loop by BPE construction, implemented differently
+    on purpose."""
+    from article_extractor_spark.data.bpe_vocab import MERGES, VOCAB
+
+    vid = {t: i for i, t in enumerate(VOCAB)}
+    parts = list(word)
+    for a, b in MERGES:
+        out, i = [], 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return [vid.get(p, 0) for p in parts]
+
+
+def test_bpe_greedy_equals_sequential_apply_randomized():
+    from article_extractor_spark.operators.tokenizer import (_tables,
+                                                             bpe_encode_word)
+
+    ranks, vocab = _tables()
+    rnd = random.Random(55)
+    alphabet = "abcdefghijklmnopqrstuvwyz019,.!XQ "
+    for _ in range(500):
+        w = "".join(rnd.choice(alphabet)
+                    for _ in range(rnd.randrange(1, 24))).strip()
+        if not w:
+            continue
+        for piece in w.split():
+            assert bpe_encode_word(piece, ranks, vocab) == \
+                _sequential_apply_reference(piece), piece
+
+
+def test_bpe_known_words_single_token():
+    """Fully-trained words must come out as exactly one id, and that id
+    must map back to the word in the vocab."""
+    from article_extractor_spark.data.bpe_vocab import VOCAB
+    from article_extractor_spark.operators.tokenizer import (_tables,
+                                                             bpe_encode_word)
+
+    ranks, vocab = _tables()
+    for w in ("spark", "query", "filter", "customer", "window", "table"):
+        ids = bpe_encode_word(w, ranks, vocab)
+        assert len(ids) == 1 and VOCAB[ids[0]] == w, (w, ids)
+
+
+def test_bpe_unknown_chars_are_unk():
+    from article_extractor_spark.operators.tokenizer import (UNK_ID,
+                                                             _tables,
+                                                             bpe_encode_word)
+
+    ranks, vocab = _tables()
+    assert bpe_encode_word("ZZZ", ranks, vocab) == [UNK_ID] * 3
+    assert bpe_encode_word("42", ranks, vocab) == [UNK_ID] * 2
+
+
+def test_bpe_token_ids_dataframe(spark):
+    from article_extractor_spark.operators.tokenizer import bpe_token_ids
+
+    df = spark.createDataFrame(
+        [(0, "spark query"), (1, ""), (2, None), (3, "zz spark")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in bpe_token_ids(df).collect()}
+    assert rows[0].n_bpe_tokens == 2
+    assert rows[1].token_ids == [] and rows[2].token_ids == []
+    assert rows[3].n_bpe_tokens == 3  # z z spark
+
+
+def test_pack_counts_matches_pack_sequences(spark):
+    """pack_sequences must be exactly pack_counts over the regex counts
+    (the refactor cannot change packing semantics)."""
+    from article_extractor_spark.operators.packing import (TOKEN_RE,
+                                                           pack_counts,
+                                                           pack_sequences)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, ("word " * (i % 7)).strip()) for i in range(40)],
+        "doc_id long, text string")
+    a = sorted(pack_sequences(df, ctx_len=10).collect())
+    counts = df.select(
+        "doc_id",
+        F.size(F.expr(
+            f"regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}', 0)"
+        )).cast("long").alias("n_tokens"))
+    b = sorted(pack_counts(counts, ctx_len=10).collect())
+    assert a == b
