@@ -1242,6 +1242,121 @@ def q_pack_bpe(spark, sf_dir):
     return pack_counts(counts, count_col="n_bpe_tokens", ctx_len=512)
 
 
+# --- e2e curation chain constants (shared by query + oracle builder) ---
+E2E_MIRROR_OFFSET = 10_000_000   # mirror-record ids = doc_id + offset
+E2E_MIN_WORDS = 80               # quality gate (integer-exact)
+E2E_CTX = 2048                   # packing context length
+
+
+def _build_e2e_warc(sf_dir: str) -> str:
+    """Deterministic WARC segments for the e2e chain: one response record
+    per document (the byte-identical synthetic page template) plus a
+    MIRROR record for every 7th doc under a '-m' host — same page bytes,
+    different url, so extraction output is a byte-dup in tag-stripped
+    plain text and the dedup stage has real work.  8 round-robin
+    segments, half as per-record gzip members (the CC layout)."""
+    import gzip
+    import tempfile
+
+    import duckdb
+
+    from article_extractor_spark.sources.pages import synthesize_page_py
+    from article_extractor_spark.sources.warc import build_warc
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+        f"ORDER BY doc_id").fetchall()
+    recs = []
+    for doc_id, text, source in rows:
+        url, html = synthesize_page_py(doc_id, text, source)
+        recs.append((url, html))
+        if doc_id % 7 == 0:
+            recs.append((url.replace(".example.com", "-m.example.com", 1),
+                         html))
+    tmp = tempfile.mkdtemp(prefix="e2ewarc_")
+    segs: list[list] = [[] for _ in range(8)]
+    for i, (url, html) in enumerate(recs):
+        segs[i % 8].append((url, "2024-01-01T00:00:01Z",
+                            html.encode("utf-8")))
+    for si, seg in enumerate(segs):
+        if si % 2 == 0:
+            with open(os.path.join(tmp, f"seg-{si}.warc"), "wb") as f:
+                f.write(build_warc(seg))
+        else:
+            with open(os.path.join(tmp, f"seg-{si}.warc.gz"), "wb") as f:
+                f.write(b"".join(gzip.compress(build_warc([r]))
+                                 for r in seg))
+    return tmp
+
+
+def q_e2e_curation(spark, sf_dir):
+    """THE 100 TB JOB IN MINIATURE, as one driver query (round-4 verdict
+    ask #5): real WARC segments -> distributed connector -> full DOM
+    extraction -> integer-exact quality gate (n_words >= 80) + language
+    gate (>=1 English stopword in the tag-stripped article text) ->
+    exact-content-hash clusters through the REAL dedup_keep_best
+    operator (mirror crawls collapse to the primary) -> real-BPE token
+    counts -> two-level prefix-sum packing into 2048-token contexts.
+    The oracle embeds survivor rows computed by an independent
+    pure-Python reference pipeline (python extraction core + sequential-
+    apply BPE + straight cumsum), all-integer so the hash gate is exact.
+    Catches interface drift between every operator family the engine
+    ships."""
+    from article_extractor_spark.operators.dedup import dedup_keep_best
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.operators.packing import pack_counts
+    from article_extractor_spark.operators.textstats import LANG_WORDS
+    from article_extractor_spark.operators.tokenizer import bpe_token_counts
+    from article_extractor_spark.sources.warc import read_warc
+
+    tmp = _build_e2e_warc(sf_dir)
+    pages = read_warc(spark, tmp)
+    arts = extract_articles(pages, config_broadcast=_configs(spark),
+                            num_partitions=16)
+    rid = (F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+           + F.when(F.col("url").contains("-m.example.com"),
+                    F.lit(E2E_MIRROR_OFFSET)).otherwise(F.lit(0)))
+    plain = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                             "<[^>]+>", "")
+    base = arts.select(rid.alias("doc_id"), plain.alias("plain"))
+    arr = ", ".join(f"'{w}'" for w in LANG_WORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(split(lower(plain), '\\\\s+'), "
+        f"t -> array_contains(array({arr}), t)))")
+    feat = base.select(
+        "doc_id", "plain",
+        F.size(F.split(F.lower(F.col("plain")), r"\s+")).alias("n_words"),
+        stop_hits.alias("stop_hits"))
+    # localCheckpoint: the WARC-read + extraction lineage above feeds four
+    # consumers below — materialize once (same pattern as ann_recall)
+    filtered = (feat.where((F.col("n_words") >= E2E_MIN_WORDS)
+                           & (F.col("stop_hits") >= 1))
+                .localCheckpoint())
+    hashed = filtered.select("doc_id", F.md5(F.col("plain")).alias("_h"))
+    groups = hashed.groupBy("_h").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    members = hashed.join(groups, "_h") \
+        .select("doc_id", "cluster_id", "cluster_size")
+    # scores are equal inside an exact cluster, so keep-best's tie-break
+    # (min doc_id) deterministically keeps the primary crawl
+    keep = dedup_keep_best(
+        filtered, members.select("doc_id", "cluster_id"),
+        filtered.select("doc_id",
+                        F.col("n_words").alias("quality_micro")))
+    survivors = keep.where(F.col("keep") == 1).select("doc_id")
+    surv = filtered.join(survivors, "doc_id")
+    counts = bpe_token_counts(surv.select(
+        "doc_id", F.col("plain").alias("text")))
+    packed = pack_counts(counts, count_col="n_bpe_tokens", ctx_len=E2E_CTX)
+    return (packed
+            .join(members.select("doc_id", "cluster_size"), "doc_id")
+            .join(filtered.select("doc_id", "n_words"), "doc_id")
+            .select("doc_id", "cluster_size", "n_words", "n_tokens",
+                    "global_start", "pack_first", "pack_last"))
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: for each event, the most recent crawl
     (warc_ts <= event ts) of its key class — the temporal-join primitive
@@ -1517,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_phash": q_jpeg_phash,
         "bpe_tokens": q_bpe_tokens,
         "pack_bpe": q_pack_bpe,
+        "e2e_curation": q_e2e_curation,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
         "dup_spans": q_dup_spans,
@@ -1750,6 +1866,104 @@ def _expected_extraction_values(sf_dir: str | None = None) -> list:
                 nbytes = len(b)
         rows.append((url, title, md5, nbytes))
     _EXPECTED_EXTRACTION_CACHE[sf_dir] = rows
+    return rows
+
+
+_E2E_CACHE: dict[str, list] = {}
+
+
+def _expected_e2e_values(sf_dir: str | None = None) -> list:
+    """Expected survivor rows for the ``e2e_curation`` oracle, computed
+    by an INDEPENDENT pure-Python reference pipeline: python extraction
+    core over the byte-identical page template (incl. the every-7th-doc
+    mirror records), tag-strip + integer n_words/stop-hit gates, exact
+    plain-text grouping with keep-min-id survivor rule, sequential-apply
+    BPE counts (not the operator's greedy loop), straight cumsum
+    packing.  All integers — the driver's hash gate is exact."""
+    if sf_dir is None:
+        sf_dir = os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    if sf_dir in _E2E_CACHE:
+        return _E2E_CACHE[sf_dir]
+    import re as _re
+
+    import duckdb
+
+    from article_extractor_spark.core.config import ConfigCollection
+    from article_extractor_spark.core.fulltext import FullTextParser
+    from article_extractor_spark.core.urlutil import Url
+    from article_extractor_spark.data.bpe_vocab import MERGES, VOCAB
+    from article_extractor_spark.operators.textstats import LANG_WORDS
+    from article_extractor_spark.sources.pages import synthesize_page_py
+
+    en = set(LANG_WORDS["en"])
+    assert VOCAB[0] == "<unk>"  # ids are irrelevant here, only counts
+    pretoken = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    def bpe_count(text: str) -> int:
+        n = 0
+        for word in pretoken.findall(text):
+            parts = list(word)
+            for a, b in MERGES:  # sequential apply, training order
+                out, i = [], 0
+                while i < len(parts):
+                    if (i < len(parts) - 1 and parts[i] == a
+                            and parts[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(parts[i])
+                        i += 1
+                parts = out
+            n += len(parts)
+        return n
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+        f"ORDER BY doc_id").fetchall()
+    parser = FullTextParser(ConfigCollection())
+    recs = []
+    for doc_id, text, source in docs:
+        url, html = synthesize_page_py(doc_id, text, source)
+        recs.append((doc_id, url, html))
+        if doc_id % 7 == 0:
+            recs.append((doc_id + E2E_MIRROR_OFFSET,
+                         url.replace(".example.com", "-m.example.com", 1),
+                         html))
+    filtered = []
+    for rid, url, html in recs:
+        try:
+            art = parser.parse_offline([html], url=Url.parse(url))
+            th = art.html or ""
+        except Exception:
+            th = ""
+        plain = _re.sub(r"<[^>]+>", "", th)
+        toks = _re.split(r"\s+", plain.lower())
+        n_words = len(toks)
+        stop_hits = sum(1 for t in toks if t in en)
+        if n_words >= E2E_MIN_WORDS and stop_hits >= 1:
+            filtered.append((rid, plain, n_words))
+    clusters: dict[str, list] = {}
+    for rid, plain, n_words in filtered:
+        clusters.setdefault(plain, []).append(rid)
+    info = {}
+    for plain, rids in clusters.items():
+        kept = min(rids)
+        for rid in rids:
+            info[rid] = (len(rids), kept)
+    rows = []
+    cum = 0
+    for rid, plain, n_words in sorted(filtered):
+        size, kept = info[rid]
+        if rid != kept:
+            continue  # dedup'd away
+        n_bpe = bpe_count(plain)
+        if n_bpe <= 0:
+            continue  # zero-token docs occupy no pack space
+        cum += n_bpe
+        rows.append((rid, size, n_words, n_bpe, cum - n_bpe,
+                     (cum - n_bpe) // E2E_CTX, (cum - 1) // E2E_CTX))
+    _E2E_CACHE[sf_dir] = rows
     return rows
 
 
@@ -2924,6 +3138,24 @@ FROM (VALUES
   (14, 7, [1, 2, 3, 4, 5, 6, 7]),
   (15, 3, [69, 68, 69])
 ) t(sid, n, ids)
+"""
+
+    # e2e curation chain: survivor rows precomputed by the independent
+    # pure-Python reference pipeline (see _expected_e2e_values)
+    _e2e_vals = ",\n".join(
+        f"  ({r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}, {r[5]}, {r[6]})"
+        for r in _expected_e2e_values())
+    sql["e2e_curation"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(global_start AS BIGINT) AS global_start,
+       CAST(pack_first AS BIGINT) AS pack_first,
+       CAST(pack_last AS BIGINT) AS pack_last
+FROM (VALUES
+{_e2e_vals}) t(doc_id, cluster_size, n_words, n_tokens, global_start,
+               pack_first, pack_last)
 """
 
     # packing over REAL BPE counts: per-string counts precomputed by the

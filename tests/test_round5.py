@@ -346,3 +346,32 @@ def test_pack_counts_matches_pack_sequences(spark):
         )).cast("long").alias("n_tokens"))
     b = sorted(pack_counts(counts, ctx_len=10).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------- e2e chain
+
+def test_e2e_reference_invariants():
+    """Structural invariants of the e2e_curation reference (the Spark
+    side is value-pinned to it by the driver gate): mirror records never
+    survive dedup, clusters are exactly {1,2}-sized, packing offsets are
+    contiguous and start at 0."""
+    import __spark_entry__ as entry
+
+    rows = entry._expected_e2e_values("/root/testdata/sf0.001")
+    assert rows, "reference produced no survivors"
+    offset = entry.E2E_MIRROR_OFFSET
+    assert all(r[0] < offset for r in rows), "a mirror record survived"
+    sizes = {r[1] for r in rows}
+    assert sizes <= {1, 2}, sizes
+    assert 2 in sizes, "no mirror dup collapsed (dedup stage had no work)"
+    # survivors with cluster_size 2 must be every-7th docs (the mirrors)
+    assert all(r[0] % 7 == 0 for r in rows if r[1] == 2)
+    cum = 0
+    for r in rows:
+        rid, size, n_words, n_bpe, gs, pf, pl = r
+        assert n_words >= entry.E2E_MIN_WORDS
+        assert n_bpe > 0
+        assert gs == cum
+        assert pf == gs // entry.E2E_CTX
+        assert pl == (gs + n_bpe - 1) // entry.E2E_CTX
+        cum += n_bpe
