@@ -920,6 +920,18 @@ def q_jpeg_decode(spark, sf_dir):
     return jpeg_roundtrip_stats(_docs(spark, sf_dir))
 
 
+def q_pdf_foreign(spark, sf_dir):
+    """PDF text extraction over a SECOND generator shape (scrambled
+    object order, split xref, indirect /Length, /Filter array, hex
+    strings, /Encoding /Differences accents): proves the parser on
+    non-self-written bytes; oracle recomputes the UTF-8 text by
+    formula."""
+    from article_extractor_spark.operators.multimodal import \
+        pdf_foreign_stats
+
+    return pdf_foreign_stats(_docs(spark, sf_dir))
+
+
 def q_jpeg_color_decode(spark, sf_dir):
     """REAL color-JPEG codec (baseline YCbCr 4:2:0: BT.601 conversion,
     2x2 chroma subsampling, interleaved MCUs, Annex K.3.2 chrominance
@@ -1633,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "pack_bpe": q_pack_bpe,
         "e2e_curation": q_e2e_curation,
+        "pdf_foreign": q_pdf_foreign,
         "video_frames": q_video_frames,
         # --- changed in round 4 (re-verify) ---
         "dup_spans": q_dup_spans,
@@ -4219,6 +4232,29 @@ t AS (
            || chr(10) || 'footer line one' || chr(10)
            || 'doc ' || CAST(doc_id AS VARCHAR) || ' page two'
            || chr(10) || 'end' AS txt
+  FROM c
+)
+SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS n_pages,
+       CAST(length(txt) AS BIGINT) AS n_chars, md5(txt) AS text_md5
+FROM t
+"""
+
+    # foreign-generator PDF: expected text includes the /Differences-
+    # remapped accents (UTF-8 literals) and the same layout reorder
+    sql["pdf_foreign"] = """
+WITH c AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9 ]', '',
+                              'g')) AS cl
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         'left ' || substr(cl, 1, 40) || ' right ' || substr(cl, 41, 40)
+           || chr(10) || 'café straße näher doc '
+           || CAST(doc_id AS VARCHAR)
+           || chr(10) || 'foreign page two ' || CAST(doc_id AS VARCHAR)
+           || chr(10) || 'fin' AS txt
   FROM c
 )
 SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS n_pages,

@@ -144,16 +144,40 @@ def _parse_string(data: bytes, pos: int) -> Tuple[str, int]:
     return "".join(out), pos
 
 
+def _skip_ws(data: bytes, pos: int) -> int:
+    """Skip whitespace AND %-comments (ISO 32000-1 7.2.4: a comment is
+    equivalent to a single space) — foreign generators sprinkle them."""
+    while pos < len(data):
+        c = data[pos:pos + 1]
+        if c in b" \t\r\n\x00\x0c":
+            pos += 1
+        elif c == b"%":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        else:
+            break
+    return pos
+
+
+def _parse_hex_string(data: bytes, pos: int) -> Tuple[str, int]:
+    """<48656C6C6F> hex string (7.3.4.3); odd digit count pads a 0."""
+    end = data.find(b">", pos)
+    if end < 0:
+        raise ValueError("unterminated hex string")
+    digits = re.sub(rb"\s", b"", data[pos:end])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1"), end + 1
+
+
 def _parse_object(data: bytes, pos: int):
     """Parse one PDF object at pos; returns (value, new_pos)."""
-    while pos < len(data) and data[pos:pos + 1] in b" \t\r\n":
-        pos += 1
+    pos = _skip_ws(data, pos)
     if data.startswith(b"<<", pos):
         pos += 2
         d: Dict[str, object] = {}
         while True:
-            while pos < len(data) and data[pos:pos + 1] in b" \t\r\n":
-                pos += 1
+            pos = _skip_ws(data, pos)
             if data.startswith(b">>", pos):
                 return d, pos + 2
             key, pos = _parse_object(data, pos)
@@ -165,14 +189,15 @@ def _parse_object(data: bytes, pos: int):
         pos += 1
         arr: List[object] = []
         while True:
-            while pos < len(data) and data[pos:pos + 1] in b" \t\r\n":
-                pos += 1
+            pos = _skip_ws(data, pos)
             if data.startswith(b"]", pos):
                 return arr, pos + 1
             v, pos = _parse_object(data, pos)
             arr.append(v)
     if data.startswith(b"(", pos):
         return _parse_string(data, pos + 1)
+    if data.startswith(b"<", pos):  # hex string (after << was ruled out)
+        return _parse_hex_string(data, pos + 1)
     if data.startswith(b"/", pos):
         m = re.match(rb"/[^\s/<>\[\]()]*", data[pos:])
         return m.group(0).decode("latin-1"), pos + m.end()
@@ -249,14 +274,28 @@ class _Pdf:
         return val
 
 
-def _interpret_text(content: bytes) -> List[TextRun]:
+def _interpret_text(content: bytes,
+                    fontmaps: Dict[str, Dict[int, str]] | None = None
+                    ) -> List[TextRun]:
     """Interpret the content stream's text operators, tracking the text
-    line matrix; returns (x, y, string) runs in stream order."""
+    line matrix; returns (x, y, string) runs in stream order.
+
+    ``fontmaps`` maps font resource names (``/F1``) to per-code
+    character remaps built from /Encoding /Differences; the current
+    font is tracked through Tf (it is graphics state, so it persists
+    across BT/ET)."""
     runs: List[TextRun] = []
     stack: List[object] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (Td/TD/Tm set it; T* returns to it)
     leading = 0.0
+    curmap: Dict[int, str] | None = None
+
+    def shown(s: str) -> str:
+        if not curmap:
+            return s
+        return "".join(curmap.get(ord(ch), ch) for ch in s)
+
     pos = 0
     n = len(content)
     while pos < n:
@@ -264,8 +303,16 @@ def _interpret_text(content: bytes) -> List[TextRun]:
         if c in b" \t\r\n":
             pos += 1
             continue
+        if c == b"%":
+            nl = content.find(b"\n", pos)
+            pos = n if nl < 0 else nl + 1
+            continue
         if c == b"(":
             s, pos = _parse_string(content, pos + 1)
+            stack.append(s)
+            continue
+        if c == b"<" and not content.startswith(b"<<", pos):
+            s, pos = _parse_hex_string(content, pos + 1)
             stack.append(s)
             continue
         if c == b"[":
@@ -317,25 +364,30 @@ def _interpret_text(content: bytes) -> List[TextRun]:
             x, y = lx, ly
         elif op == b"TL":
             leading = stack.pop()
+        elif op == b"Tf":
+            stack.pop()  # size (no glyph metrics tracked)
+            name = stack.pop()
+            if fontmaps is not None and isinstance(name, str):
+                curmap = fontmaps.get(name)
         elif op == b"Tj":
-            runs.append((x, y, stack.pop()))
+            runs.append((x, y, shown(stack.pop())))
         elif op == b"'":
             ly -= leading
             x, y = lx, ly
-            runs.append((x, y, stack.pop()))
+            runs.append((x, y, shown(stack.pop())))
         elif op == b'"':
             s = stack.pop()
             stack.pop()
             stack.pop()
             ly -= leading
             x, y = lx, ly
-            runs.append((x, y, s))
+            runs.append((x, y, shown(s)))
         elif op == b"TJ":
             arr = stack.pop()
-            runs.append((x, y, "".join(v for v in arr
-                                       if isinstance(v, str))))
+            runs.append((x, y, shown("".join(v for v in arr
+                                             if isinstance(v, str)))))
         else:
-            stack.clear()  # q/Q/Tf/ET/other operators: no text effect
+            stack.clear()  # q/Q/ET/other operators: no text effect
     return runs
 
 
@@ -357,6 +409,66 @@ def _reading_order(runs: List[TextRun]) -> str:
     return "\n".join(out)
 
 
+# Adobe Glyph List subset (the public AGL maps glyph names to Unicode;
+# single-letter/digit names map to themselves) — enough for the Latin-1
+# accents foreign generators commonly route through /Differences.
+_AGL = {
+    "space": " ", "comma": ",", "period": ".", "hyphen": "-",
+    "exclam": "!", "question": "?", "colon": ":", "semicolon": ";",
+    "quotesingle": "'", "quotedbl": '"', "parenleft": "(",
+    "parenright": ")", "slash": "/", "numbersign": "#",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "agrave": "à", "acircumflex": "â", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "germandbls": "ß",
+    "ccedilla": "ç", "ntilde": "ñ", "aring": "å",
+    "oslash": "ø", "ae": "æ", "oe": "œ",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+
+
+def _glyph_char(name: str) -> str | None:
+    if len(name) == 1:  # /a /B etc. — AGL identity range
+        return name
+    return _AGL.get(name)
+
+
+def _font_maps(pdf: "_Pdf", resources) -> Dict[str, Dict[int, str]]:
+    """Build per-font code->char remaps from /Resources /Font entries
+    whose /Encoding carries /Differences (ISO 32000-1 9.6.6.3: the array
+    is runs of a start code followed by glyph names)."""
+    maps: Dict[str, Dict[int, str]] = {}
+    resources = pdf.resolve(resources)
+    if not isinstance(resources, dict):
+        return maps
+    fonts = pdf.resolve(resources.get("/Font"))
+    if not isinstance(fonts, dict):
+        return maps
+    for name, fref in fonts.items():
+        font = pdf.resolve(fref)
+        if not isinstance(font, dict):
+            continue
+        enc = pdf.resolve(font.get("/Encoding"))
+        if not isinstance(enc, dict):
+            continue
+        diffs = pdf.resolve(enc.get("/Differences"))
+        if not isinstance(diffs, list):
+            continue
+        remap: Dict[int, str] = {}
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str) and item.startswith("/"):
+                ch = _glyph_char(item[1:])
+                if ch is not None:
+                    remap[code] = ch
+                code += 1
+        if remap:
+            maps[name] = remap
+    return maps
+
+
 def extract_pdf_text(data: bytes) -> List[str]:
     """Parse a PDF and return one reading-ordered text string per page."""
     if not data.startswith(b"%PDF-"):
@@ -366,11 +478,12 @@ def extract_pdf_text(data: bytes) -> List[str]:
     pages_node = pdf.resolve(root["/Pages"])
     out: List[str] = []
 
-    def walk(node) -> None:
+    def walk(node, inherited_res) -> None:
         node = pdf.resolve(node)
         if node.get("/Type") == "/Pages":
+            res = node.get("/Resources", inherited_res)
             for kid in node["/Kids"]:
-                walk(kid)
+                walk(kid, res)
             return
         contents = pdf.resolve(node["/Contents"])
         if isinstance(contents, list):
@@ -378,7 +491,113 @@ def extract_pdf_text(data: bytes) -> List[str]:
                              for c in contents)
         else:
             raw = contents["__stream__"]
-        out.append(_reading_order(_interpret_text(raw)))
+        fontmaps = _font_maps(pdf, node.get("/Resources", inherited_res))
+        out.append(_reading_order(_interpret_text(raw, fontmaps)))
 
-    walk(pages_node)
+    walk(pages_node, None)
     return out
+
+
+def encode_pdf_foreign(pages: List[List[TextRun]],
+                       diff_glyphs: Dict[int, str] | None = None,
+                       page_size: Tuple[int, int] = (595, 842)) -> bytes:
+    """A SECOND generator shape (round-4 verdict ask #6): writes the
+    same logical document as :func:`encode_pdf` but with the layout
+    conventions of a different producer, so the parser is exercised on
+    non-self-written structure:
+
+    * binary comment line after a %PDF-1.6 header
+    * objects emitted OUT of numeric order, with %-comments between them
+    * the first page's content stream: /Filter [/FlateDecode] (array
+      form) with an INDIRECT /Length object
+    * remaining content streams uncompressed (direct /Length, no filter)
+    * each page's first run written as a HEX string
+    * a font /Encoding with /Differences (``diff_glyphs``: code ->
+      glyph name, e.g. ``{0x80: "eacute"}``); run text chars with those
+      codes are emitted as raw code bytes
+    * the xref table SPLIT into two subsections around a free entry
+
+    Run strings may contain chars in ``diff_glyphs``'s target range only
+    if the corresponding code is mapped; everything else must be
+    latin-1."""
+    w, h = page_size
+    diff_glyphs = diff_glyphs or {}
+    n_pages = len(pages)
+
+    def content_ops(runs: List[TextRun]) -> bytes:
+        ops = []
+        for i, (x, y, s) in enumerate(runs):
+            raw = s.encode("latin-1")
+            if i == 0:  # hex-string form for the first run
+                shown = b"<" + raw.hex().encode("ascii") + b">"
+            else:
+                shown = b"(" + raw.replace(b"\\", rb"\\") \
+                    .replace(b"(", rb"\(").replace(b")", rb"\)") + b")"
+            ops.append(b"BT /F1 11 Tf %.1f %.1f Td " % (x, y)
+                       + shown + b" Tj ET")
+        return b"\n".join(ops)
+
+    # object numbering with a deliberate free-entry gap:
+    # 1..P            content streams
+    # P+1             indirect /Length for content 1
+    # P+2             FREE (never emitted)
+    # P+3             font, P+4 encoding, P+5 pages, P+6..P+5+P pages,
+    # P+6+P           catalog
+    P = n_pages
+    gap = P + 2
+    font_id, enc_id, pages_id = P + 3, P + 4, P + 5
+    page_ids = [P + 6 + i for i in range(n_pages)]
+    catalog_id = P + 6 + n_pages
+    bodies: Dict[int, bytes] = {}
+
+    comp0 = zlib.compress(content_ops(pages[0]))
+    bodies[1] = (b"<< /Length " + str(P + 1).encode() + b" 0 R"
+                 b" /Filter [/FlateDecode] >>\nstream\n" + comp0
+                 + b"\nendstream")
+    bodies[P + 1] = str(len(comp0)).encode()
+    for i in range(1, n_pages):
+        plain = content_ops(pages[i])
+        bodies[i + 1] = (b"<< /Length " + str(len(plain)).encode()
+                         + b" >>\nstream\n" + plain + b"\nendstream")
+    diffs = b" ".join(b"%d /%s" % (code, name.encode("ascii"))
+                      for code, name in sorted(diff_glyphs.items()))
+    bodies[enc_id] = (b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+                      b" /Differences [ " + diffs + b" ] >>")
+    bodies[font_id] = (b"<< /Type /Font /Subtype /Type1 /BaseFont"
+                       b" /Helvetica /Encoding " + str(enc_id).encode()
+                       + b" 0 R >>")
+    kids = b" ".join(b"%d 0 R" % pid for pid in page_ids)
+    bodies[pages_id] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                        + str(n_pages).encode() + b" /Resources"
+                        b" << /Font << /F1 " + str(font_id).encode()
+                        + b" 0 R >> >> >>")
+    for i, pid in enumerate(page_ids):
+        bodies[pid] = (b"<< /Type /Page /Parent " + str(pages_id).encode()
+                       + b" 0 R /MediaBox [0 0 %d %d] /Contents %d 0 R >>"
+                       % (w, h, i + 1))
+    bodies[catalog_id] = (b"<< /Type /Catalog /Pages "
+                          + str(pages_id).encode() + b" 0 R >>")
+
+    # emission order: deliberately scrambled (catalog first, then evens,
+    # then odds) with comments between objects
+    order = sorted(bodies, key=lambda i: (i != catalog_id, i % 2, -i))
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+    for num in order:
+        out += b"% object follows\n"
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + bodies[num] + b"\nendobj\n"
+    xref_at = len(out)
+    # split xref: [0, gap) then (gap, catalog_id]
+    out += b"xref\n"
+    out += b"0 %d\n" % gap
+    out += b"0000000000 65535 f \n"
+    for num in range(1, gap):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"%d %d\n" % (gap + 1, catalog_id - gap)
+    for num in range(gap + 1, catalog_id + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size " + str(catalog_id + 1).encode()
+            + b" /Root " + str(catalog_id).encode() + b" 0 R >>\n"
+            b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
+    return bytes(out)

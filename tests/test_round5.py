@@ -375,3 +375,79 @@ def test_e2e_reference_invariants():
         assert pf == gs // entry.E2E_CTX
         assert pl == (gs + n_bpe - 1) // entry.E2E_CTX
         cum += n_bpe
+
+
+# ---------------------------------------------------------------- foreign pdf
+
+def _foreign_pdf_bytes():
+    from article_extractor_spark.core.pdf import encode_pdf_foreign
+
+    page1 = [(300.0, 700.0, "right col"),
+             (50.0, 700.0, "left col"),
+             (50.0, 680.0, "caf\x80 stra\x82e \x81rger")]
+    page2 = [(50.0, 700.0, "second page"), (50.0, 680.0, "end.")]
+    return encode_pdf_foreign(
+        [page1, page2],
+        {0x80: "eacute", 0x81: "adieresis", 0x82: "germandbls"})
+
+
+def test_foreign_pdf_extracts_with_accents_and_layout():
+    from article_extractor_spark.core.pdf import extract_pdf_text
+
+    pages = extract_pdf_text(_foreign_pdf_bytes())
+    assert pages == ["left col right col\ncafé straße ärger",
+                     "second page\nend."]
+
+
+def test_foreign_pdf_structure_is_actually_foreign():
+    """The fixture must really exercise the foreign structure classes —
+    if the writer regresses to the primary writer's layout, this fails
+    before the parser is even involved."""
+    data = _foreign_pdf_bytes()
+    assert data.startswith(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3")
+    assert b"/Filter [/FlateDecode]" in data
+    assert b"% object follows" in data
+    # split xref: two subsection headers
+    # rindex of bare b"xref" would find "startxref" — anchor on newline
+    xref = data[data.rindex(b"\nxref\n"):data.rindex(b"trailer")]
+    import re
+    subs = re.findall(rb"^(\d+) (\d+)\s*$", xref, re.M)
+    assert len(subs) == 2, subs
+    # hex string present in the uncompressed second content stream
+    assert re.search(rb"<[0-9a-f]{6,}> Tj", data), "no hex-string run"
+    # indirect /Length reference
+    assert re.search(rb"/Length \d+ 0 R", data)
+
+
+def test_foreign_pdf_fuzz_fails_clean():
+    """Truncations and bit flips over the foreign layout must raise
+    clean errors, never hang or return silently-wrong page counts."""
+    from article_extractor_spark.core.pdf import extract_pdf_text
+
+    data = _foreign_pdf_bytes()
+    good = extract_pdf_text(data)
+    rnd = random.Random(11)
+    for _ in range(40):
+        mut = bytearray(data)
+        op = rnd.randrange(3)
+        if op == 0:
+            mut = mut[:rnd.randrange(20, len(mut))]
+        elif op == 1:
+            mut[rnd.randrange(len(mut))] ^= 1 << rnd.randrange(8)
+        else:
+            i = rnd.randrange(len(mut) - 40)
+            del mut[i:i + rnd.randrange(1, 40)]
+        try:
+            got = extract_pdf_text(bytes(mut))
+            assert isinstance(got, list)
+        except Exception as e:
+            assert not isinstance(e, (MemoryError, RecursionError)), e
+
+
+def test_pdf_hex_string_and_comments_parse():
+    from article_extractor_spark.core.pdf import _parse_object
+
+    v, _ = _parse_object(b"  % comment\n <48656C6C6F> ", 0)
+    assert v == "Hello"
+    d, _ = _parse_object(b"<< /A 1 % inline\n /B <4869> >>", 0)
+    assert d == {"/A": 1, "/B": "Hi"}
