@@ -1598,46 +1598,29 @@ def q_sessionize(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's CORRECTNESS gate checks the
-    # FIRST 50 keys.  Round 4 rotation: the 18 queries whose last green row
-    # is round-2 vintage lead (asof_join and ann_lsh changed since — verdict
-    # r3 "What's wrong #1"), then the round-4 additions, then the queries
-    # already hash-green in CORRECTNESS_r03 whose code is unchanged.
+    # FIRST 50 keys.  Round-5 rotation is MECHANICAL now: every key whose
+    # transitive source hash differs from tests/query_manifest.json (its
+    # last driver-green state) registers inside the window — enforced by
+    # tests/test_verification_currency.py + scripts/query_manifest.py.
+    # kmv_distinct leads (verdict r4 'What's wrong #1'); the remaining
+    # window slots re-verify the oldest (r3-vintage) green keys.
     return {
-        # --- r2-only / changed-since-check (18) ---
-        "asof_join": q_asof_join,
+        # --- changed since last green verification (38) + kmv first ---
+        "kmv_distinct": q_kmv_distinct,
         "ann_lsh": q_ann_lsh,
         "pack_sequences": q_pack_sequences,
-        "curation": q_curation,
-        "sessionize": q_sessionize,
         "pq_encode": q_pq_encode,
-        "stratified_sample": q_stratified_sample,
-        "embedding_near_dups": q_embedding_near_dups,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "media_stats": q_media_stats,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
-        # --- new in round 4 ---
-        "dup_span_ranges": q_dup_span_ranges,
-        "dup_span_removal": q_dup_span_removal,
         "ann_recall": q_ann_recall,
         "golden_parity": q_golden_parity,
-        "hll_distinct": q_hll_distinct,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "sentence_chunks": q_sentence_chunks,
-        "bloom_filter": q_bloom_filter,
         "host_hits": q_host_hits,
         "pdf_extract": q_pdf_extract,
-        "crawl_schedule": q_crawl_schedule,
-        "quality_bins": q_quality_bins,
-        "dedup_keep_best": q_dedup_keep_best,
         "anchor_text": q_anchor_text,
-        "editdist_verify": q_editdist_verify,
         "int8_quantize": q_int8_quantize,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_color_decode": q_jpeg_color_decode,
@@ -1647,16 +1630,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2e_curation": q_e2e_curation,
         "pdf_foreign": q_pdf_foreign,
         "video_frames": q_video_frames,
-        # --- changed in round 4 (re-verify) ---
-        "dup_spans": q_dup_spans,
-        # --- r3-green, unchanged ---
         "clean_fragments": q_clean_fragments,
         "thumbnails_only": q_thumbnails_only,
         "multipage": q_multipage,
         "extract_titles": q_extract_titles,
         "extract_fulltext": q_extract_fulltext,
-        "host_parse": q_host_parse,
-        "config_lookup": q_config_lookup,
+        "host_pagerank": q_host_pagerank,
+        "png_decode": q_png_decode,
+        "wav_decode": q_wav_decode,
+        "image_phash": q_image_phash,
+        "audio_frames": q_audio_frames,
+        "ann_ivf_refined": q_ann_ivf_refined,
+        "random_projection": q_random_projection,
+        "kmeans_iter": q_kmeans_iter,
+        "kmeans_full": q_kmeans_full,
+        # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
         "thumbnail_argmax": q_thumbnail_argmax,
@@ -1669,6 +1657,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
         "script_detect": q_script_detect,
+        # --- outside the checked window: unchanged since their green row ---
+        "asof_join": q_asof_join,
+        "curation": q_curation,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "embedding_near_dups": q_embedding_near_dups,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "dup_span_ranges": q_dup_span_ranges,
+        "dup_span_removal": q_dup_span_removal,
+        "hll_distinct": q_hll_distinct,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "sentence_chunks": q_sentence_chunks,
+        "bloom_filter": q_bloom_filter,
+        "crawl_schedule": q_crawl_schedule,
+        "quality_bins": q_quality_bins,
+        "dedup_keep_best": q_dedup_keep_best,
+        "editdist_verify": q_editdist_verify,
+        "dup_spans": q_dup_spans,
+        "host_parse": q_host_parse,
+        "config_lookup": q_config_lookup,
         "gopher_repetition": q_gopher_repetition,
         "c4_filters": q_c4_filters,
         "url_normalize": q_url_normalize,
@@ -1678,27 +1689,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "classifier_score": q_classifier_score,
         "mixture_weights": q_mixture_weights,
-        "host_pagerank": q_host_pagerank,
         "blocklist_filter": q_blocklist_filter,
         "gopher_quality": q_gopher_quality,
-        "kmv_distinct": q_kmv_distinct,
         "cdx_roundtrip": q_cdx_roundtrip,
-        "png_decode": q_png_decode,
-        "wav_decode": q_wav_decode,
         "robots_filter": q_robots_filter,
         "normalize_text": q_normalize_text,
         "dedup_incremental": q_dedup_incremental,
-        "image_phash": q_image_phash,
         "robots_end_to_end": q_robots_end_to_end,
-        "audio_frames": q_audio_frames,
         "merge_latest": q_merge_latest,
         "incremental_new": q_incremental_new,
         "warc_roundtrip": q_warc_roundtrip,
-        "ann_ivf_refined": q_ann_ivf_refined,
-        "random_projection": q_random_projection,
         "dedup_simhash": q_dedup_simhash,
-        "kmeans_iter": q_kmeans_iter,
-        "kmeans_full": q_kmeans_full,
     }
 
 
