@@ -1403,6 +1403,16 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(_emb(spark, sf_dir), threshold=0.6)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
+    seeding as kmeans_full), drop every vector with a lower-id
+    within-cluster near-duplicate at cosine >= 0.4, return survivors."""
+    from article_extractor_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), num_centroids=8, n_iter=1,
+                          threshold=0.4)
+
+
 def q_ann_brute(spark, sf_dir):
     from article_extractor_spark.operators.similarity import brute_force_topk
 
@@ -1644,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
+        "semantic_dedup": q_semantic_dedup,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -1656,8 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "line_dedup": q_line_dedup,
         "scrub_pii": q_scrub_pii,
-        "script_detect": q_script_detect,
         # --- outside the checked window: unchanged since their green row ---
+        "script_detect": q_script_detect,
         "asof_join": q_asof_join,
         "curation": q_curation,
         "sessionize": q_sessionize,
@@ -3230,6 +3241,53 @@ ranked AS (
   FROM embeddings e, c1 c
 )
 SELECT vec_id, centroid_id, centroid_sim FROM ranked WHERE rk = 1
+"""
+
+    _sdd_cos = (f"round({_dot_sql('a.embedding', 'b.embedding')} / "
+                f"({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}),"
+                f" 4)")
+    sql["semantic_dedup"] = f"""
+WITH cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+    FROM embeddings e, cents0 c
+  ) WHERE rk = 1
+),
+m AS (
+  SELECT a.centroid_id, d.i AS dim,
+         CAST(sum(CAST(round(CAST(e.embedding[d.i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS mean_val
+  FROM embeddings e
+  JOIN a0 a ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(range(len(e.embedding))) AS i) d
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT centroid_id, list(mean_val ORDER BY dim) AS cvec FROM m GROUP BY 1
+),
+ranked AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos0} DESC, c.centroid_id ASC) AS rk
+  FROM embeddings e, c1 c
+),
+asg AS (SELECT vec_id, centroid_id FROM ranked WHERE rk = 1),
+p AS (
+  SELECT DISTINCT b.vec_id AS b_id
+  FROM embeddings a
+  JOIN asg ca ON ca.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN asg cb ON cb.vec_id = b.vec_id AND cb.centroid_id = ca.centroid_id
+  WHERE {_sdd_cos} >= 0.4
+)
+SELECT s.vec_id, s.centroid_id FROM asg s
+WHERE s.vec_id NOT IN (SELECT b_id FROM p)
 """
 
     sql["pq_encode"] = """

@@ -451,3 +451,41 @@ def test_pdf_hex_string_and_comments_parse():
     assert v == "Hello"
     d, _ = _parse_object(b"<< /A 1 % inline\n /B <4869> >>", 0)
     assert d == {"/A": 1, "/B": "Hi"}
+
+
+# ------------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_drops_higher_id_within_cluster_near_dups(spark):
+    """SemDeDup pruning rule: a vector with a lower-id near-duplicate
+    (cosine >= threshold) in its own k-means cluster is dropped; exact
+    dups always share a cluster (identical assignment), so the higher id
+    of every exact pair never survives.  Orthogonal vectors survive
+    regardless of cluster."""
+    from article_extractor_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1 -> dropped
+        (3, [0.9, 0.1, 0.0, 0.0]),   # cos(1,3) ~ 0.9937 -> dropped
+        (4, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+        (5, [0.0, 0.0, 1.0, 0.0]),   # orthogonal -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, num_centroids=2, n_iter=1, threshold=0.95)
+    kept = {r.vec_id for r in out.collect()}
+    assert kept == {1, 4, 5}
+
+
+def test_semantic_dedup_threshold_one_keeps_non_identical(spark):
+    """At threshold just above any non-identical pair's cosine only exact
+    duplicates are pruned."""
+    from article_extractor_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),             # exact dup -> dropped
+        (3, [0.9999, 0.01]),         # cosine 0.99995 < 0.99999 -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, num_centroids=1, n_iter=1, threshold=0.99999)
+    assert {r.vec_id for r in out.collect()} == {1, 3}
