@@ -41,8 +41,11 @@ def semantic_dedup(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
 
     assign = kmeans(emb, num_centroids=num_centroids, n_iter=n_iter,
                     id_col=id_col, vec_col=vec_col)
+    # cache: the assigned table feeds three consumers (pair a-side,
+    # b-side, survivor anti-join) — without it the broadcast-argmax
+    # assignment lineage (a full embedding scan) replays per consumer
     blocked = emb.select(id_col, vec_col).join(
-        assign.select(id_col, "centroid_id"), id_col)
+        assign.select(id_col, "centroid_id"), id_col).cache()
     pairs = embedding_near_dups(blocked, id_col=id_col, vec_col=vec_col,
                                 threshold=threshold,
                                 block_col="centroid_id")
