@@ -1403,6 +1403,14 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(_emb(spark, sf_dir), threshold=0.6)
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity filter: mean -log2 P(w2|w1) per doc under
+    the corpus add-one-smoothed bigram model (see operators/lm.py)."""
+    from article_extractor_spark.operators.lm import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1655,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iter": q_kmeans_iter,
         "kmeans_full": q_kmeans_full,
         "semantic_dedup": q_semantic_dedup,
+        "bigram_logprob": q_bigram_logprob,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -1666,8 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_full": q_dedup_clusters_full,
         "dedup_chunks": q_dedup_chunks,
         "line_dedup": q_line_dedup,
-        "scrub_pii": q_scrub_pii,
         # --- outside the checked window: unchanged since their green row ---
+        "scrub_pii": q_scrub_pii,
         "script_detect": q_script_detect,
         "asof_join": q_asof_join,
         "curation": q_curation,
@@ -2313,6 +2322,42 @@ per AS (
 )
 SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
        coalesce(CAST(p.sq AS DOUBLE) / 1000000 / p.n_tokens, 0.0)
+         AS avg_neg_log2p
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+    sql["bigram_logprob"] = """
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+ws AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                             x -> x <> '') AS w
+  FROM docs
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+  FROM (SELECT unnest(w) AS tok FROM ws)
+),
+big AS (
+  SELECT doc_id, w[i.i + 1] AS w1, w[i.i + 2] AS w2
+  FROM ws, LATERAL unnest(range(len(w) - 1)) AS i(i)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+wt AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round((log2(CAST(c1 + vs AS DOUBLE))
+                     - log2(CAST(c2 + 1 AS DOUBLE))) * 1000000)
+              AS BIGINT) AS q
+  FROM big b JOIN bc USING (w1, w2) JOIN wt USING (w1), v
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(q) AS BIGINT) AS sq
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(CAST(p.sq AS DOUBLE) / 1000000 / p.n_bigrams, 0.0)
          AS avg_neg_log2p
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """

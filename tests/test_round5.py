@@ -489,3 +489,38 @@ def test_semantic_dedup_threshold_one_keeps_non_identical(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(emb, num_centroids=1, n_iter=1, threshold=0.99999)
     assert {r.vec_id for r in out.collect()} == {1, 3}
+
+
+# ---------------------------------------------------------- bigram LM filter
+
+def test_bigram_logprob_is_context_sensitive(spark):
+    """Scrambling word order preserves the unigram distribution but must
+    raise the bigram surprisal — the property that makes the CCNet-style
+    filter catch shuffled/garbled text that unigram scoring passes."""
+    from article_extractor_spark.operators.lm import bigram_logprob
+    from article_extractor_spark.operators.textstats import unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    words = fluent.split()
+    scrambled = " ".join(words[::2] + words[1::2])  # same bag of words
+    # several fluent docs + one scrambled: the corpus-trained model is
+    # dominated by fluent transitions, so the scrambled doc's pairs are
+    # rare even though its own bigrams also enter the training counts
+    rows = [(i, fluent) for i in range(1, 6)] + [(6, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_neg_log2p for r in unigram_logprob(df).collect()}
+    assert abs(uni[1] - uni[6]) < 1e-9  # unigram model can't tell
+    big = {r.doc_id: r.avg_neg_log2p for r in bigram_logprob(df).collect()}
+    assert big[6] > big[1]              # bigram model can
+
+
+def test_bigram_logprob_short_docs_zero(spark):
+    from article_extractor_spark.operators.lm import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, None), (4, "two words")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert rows[1].n_bigrams == 0 and rows[1].avg_neg_log2p == 0.0
+    assert rows[2].n_bigrams == 0 and rows[3].n_bigrams == 0
+    assert rows[4].n_bigrams == 1 and rows[4].avg_neg_log2p > 0.0
