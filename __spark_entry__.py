@@ -943,6 +943,19 @@ def q_jpeg_color_decode(spark, sf_dir):
     return jpeg_color_roundtrip_stats(_docs(spark, sf_dir))
 
 
+def q_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG (T.81 Annex G: spectral selection + successive
+    approximation, 10 scans, DC/AC refinement, restart intervals):
+    per-doc palette-stripe images encode as SOF2 streams and decode
+    through the multi-scan coefficient store; oracle pins scan count,
+    restart-marker count (closed formula), byte-identity with the
+    baseline decode, and per-channel pixel sums."""
+    from article_extractor_spark.operators.multimodal import \
+        jpeg_progressive_stats
+
+    return jpeg_progressive_stats(_docs(spark, sf_dir))
+
+
 def q_jpeg_phash(spark, sf_dir):
     """Perceptual average-hash over REALLY-decoded JPEG pixels (full
     encode->decode roundtrip through core/jpeg.py per image): exact
@@ -1642,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quantize": q_int8_quantize,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_color_decode": q_jpeg_color_decode,
+        "jpeg_progressive": q_jpeg_progressive,
         "jpeg_phash": q_jpeg_phash,
         "bpe_tokens": q_bpe_tokens,
         "pack_bpe": q_pack_bpe,
@@ -4438,6 +4452,43 @@ SELECT d.doc_id AS media_id,
        CAST(32 + (d.doc_id % 2) * 16 AS INTEGER) AS width,
        CAST(16 AS INTEGER) AS height,
        CAST((32 + (d.doc_id % 2) * 16) // 16 AS INTEGER) AS n_mcus,
+       s.sum_r, s.sum_g, s.sum_b
+FROM documents d, LATERAL (
+  SELECT
+    CAST(sum(256 * CASE (d.doc_id * 7 + m.i * 13) % 8
+      WHEN 0 THEN 255 WHEN 1 THEN 255 WHEN 2 THEN 255 WHEN 3 THEN 255
+      WHEN 4 THEN 255 WHEN 5 THEN 150 WHEN 6 THEN 150 ELSE 54 END)
+      AS BIGINT) AS sum_r,
+    CAST(sum(256 * CASE (d.doc_id * 7 + m.i * 13) % 8
+      WHEN 0 THEN 252 WHEN 1 THEN 156 WHEN 2 THEN 57 WHEN 3 THEN 0
+      WHEN 4 THEN 0 WHEN 5 THEN 255 WHEN 6 THEN 0 ELSE 255 END)
+      AS BIGINT) AS sum_g,
+    CAST(sum(256 * CASE (d.doc_id * 7 + m.i * 13) % 8
+      WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 252
+      WHEN 4 THEN 156 WHEN 5 THEN 0 WHEN 6 THEN 255 ELSE 0 END)
+      AS BIGINT) AS sum_b
+  FROM unnest(range((32 + (d.doc_id % 2) * 16) // 16)) m(i)
+) s
+"""
+
+    # progressive JPEG: same palette-stripe images as jpeg_color_decode,
+    # so the pixel sums reuse that formula; the encoder always emits 10
+    # scans, and restart markers count floor((units-1)/ri) per scan —
+    # the 2 DC scans walk w/16 MCUs each, the 4 Y-AC scans (2 spectral
+    # bands x first+refine) walk w/4 blocks each (2x2-sampled Y has 4
+    # blocks per MCU), and the 4 chroma-AC scans walk w/16 blocks each
+    sql["jpeg_progressive"] = """
+SELECT d.doc_id AS media_id,
+       CAST(32 + (d.doc_id % 2) * 16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(10 AS INTEGER) AS n_scans,
+       CAST(2 * (((32 + (d.doc_id % 2) * 16) // 16 - 1)
+                 // (1 + d.doc_id % 3))
+          + 4 * (((32 + (d.doc_id % 2) * 16) // 4 - 1)
+                 // (1 + d.doc_id % 3))
+          + 4 * (((32 + (d.doc_id % 2) * 16) // 16 - 1)
+                 // (1 + d.doc_id % 3)) AS INTEGER) AS n_rst,
+       CAST(1 AS INTEGER) AS identical,
        s.sum_r, s.sum_g, s.sum_b
 FROM documents d, LATERAL (
   SELECT

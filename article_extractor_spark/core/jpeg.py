@@ -192,6 +192,18 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1)."""
+        self._n = 0  # discard pad bits
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF \
+                and self.data[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 >= len(self.data) or self.data[p] != 0xFF \
+                or not (0xD0 <= self.data[p + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos = p + 2
+
 
 def _magnitude(v: int) -> Tuple[int, int]:
     """(category, appended bits) per T.81 F.1.2.1."""
@@ -322,6 +334,35 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     return bytes(out)
 
 
+def _ycbcr_420_planes(width: int, height: int, rgb: bytes
+                      ) -> Tuple[bytearray, bytearray, bytearray, int, int]:
+    """BT.601 convert + 2x2 chroma subsample (rounded mean, edge
+    replication).  Returns (Y, Cb, Cr, chroma_w, chroma_h); shared by
+    the baseline and progressive color encoders so both quantize
+    identical coefficients."""
+    n = width * height
+    yp = bytearray(n)
+    cbf = bytearray(n)
+    crf = bytearray(n)
+    for i in range(n):
+        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        yp[i] = y
+        cbf[i] = cb
+        crf[i] = cr
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cbs = bytearray(cw * ch)
+    crs = bytearray(cw * ch)
+    for cy in range(ch):
+        y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
+        for cx in range(cw):
+            x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
+            for src, dst in ((cbf, cbs), (crf, crs)):
+                s = (src[y0 * width + x0] + src[y0 * width + x1]
+                     + src[y1 * width + x0] + src[y1 * width + x1])
+                dst[cy * cw + cx] = (s + 2) // 4
+    return yp, cbs, crs, cw, ch
+
+
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
                       qtable: List[int] | None = None) -> bytes:
     """Encode interleaved 8-bit RGB ``rgb`` (row-major, len == w*h*3) to
@@ -337,27 +378,7 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     if len(q) != 64:
         raise ValueError("qtable must have 64 entries")
 
-    n = width * height
-    yp = bytearray(n)
-    cbf = bytearray(n)
-    crf = bytearray(n)
-    for i in range(n):
-        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
-        yp[i] = y
-        cbf[i] = cb
-        crf[i] = cr
-    # 2x2 chroma subsample: rounded mean with edge replication
-    cw, ch = (width + 1) // 2, (height + 1) // 2
-    cbs = bytearray(cw * ch)
-    crs = bytearray(cw * ch)
-    for cy in range(ch):
-        y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
-        for cx in range(cw):
-            x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
-            for src, dst in ((cbf, cbs), (crf, crs)):
-                s = (src[y0 * width + x0] + src[y0 * width + x1]
-                     + src[y1 * width + x0] + src[y1 * width + x1])
-                dst[cy * cw + cx] = (s + 2) // 4
+    yp, cbs, crs, cw, ch = _ycbcr_420_planes(width, height, rgb)
 
     out = bytearray(b"\xFF\xD8")  # SOI
     zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
@@ -414,14 +435,264 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     return bytes(out)
 
 
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            qtable: List[int] | None = None,
+                            restart_interval: int = 0) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JPEG per T.81 Annex G.1.2: spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans, optional restart intervals (DRI + RSTn, DC-pred/EOB-run
+    reset, byte-aligned).  ``pixels`` is row-major 8-bit grayscale
+    (len == w*h, one component) or interleaved RGB (len == w*h*3,
+    encoded as YCbCr 4:2:0 exactly like :func:`encode_jpeg_color`).
+
+    The quantized coefficients are identical to the baseline encoders'
+    (same FDCT, quantizer and plane prep), so
+    ``decode_jpeg(encode_jpeg_progressive(...)) ==
+    decode_jpeg(encode_jpeg_gray/color(...))`` byte-for-byte — the
+    cross-oracle the tests and the ``jpeg_progressive`` driver query
+    pin.  EOB runs are capped at 1 (plain EOB0) because the Annex K.3
+    example AC tables define no EOBn>0 symbols; that is spec-valid and
+    merely costs compression.  Scan script (libjpeg-style): DC first
+    (Al=1), AC first bands (Y split 1-5/6-63 at Al=2, chroma 1-63 at
+    Al=1), DC refinement, then AC refinement passes down to Al=0."""
+    q = list(qtable or DEFAULT_QTABLE)
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+    if len(pixels) == width * height:
+        planes = [(bytes(pixels), width, height, 1, 1)]
+    elif len(pixels) == width * height * 3:
+        yp, cbs, crs, cw, ch = _ycbcr_420_planes(width, height, pixels)
+        planes = [(yp, width, height, 2, 2),
+                  (cbs, cw, ch, 1, 1), (crs, cw, ch, 1, 1)]
+    else:
+        raise ValueError("pixel buffer size mismatch")
+    ncomp = len(planes)
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficient blocks per component, padded MCU grid
+    # (identical math to _encode_block: FDCT on edge-replicated level-
+    # shifted blocks, round-half-away quantize)
+    comps = []  # (blocks, bw_pad, comp_bw, comp_bh, hc, vc)
+    for plane, pw, ph, hc, vc in planes:
+        bw_pad, bh_pad = mcux * hc, mcuy * vc
+        cwidth = (width * hc + hmax - 1) // hmax
+        cheight = (height * vc + vmax - 1) // vmax
+        blocks: List[List[int]] = []
+        for bidx in range(bw_pad * bh_pad):
+            by, bx = divmod(bidx, bw_pad)
+            block = [0.0] * 64
+            for y in range(8):
+                sy = min(by * 8 + y, ph - 1)
+                for x in range(8):
+                    sx = min(bx * 8 + x, pw - 1)
+                    block[y * 8 + x] = plane[sy * pw + sx] - 128.0
+            coef = _fdct8x8(block)
+            blocks.append([_round_half_away(coef[ZIGZAG[i]] / q[ZIGZAG[i]])
+                           for i in range(64)])
+        comps.append((blocks, bw_pad,
+                      (cwidth + 7) // 8, (cheight + 7) // 8, hc, vc))
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    zz_q = bytes(q[ZIGZAG[i]] for i in range(64))
+    for tq in range(1 if ncomp == 1 else 2):
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + zz_q
+    out += b"\xFF\xC2" + struct.pack(  # SOF2: progressive DCT
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci, (_, _, _, _, hc, vc) in enumerate(comps):
+        out += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
+    tables = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
+              (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    if ncomp == 3:
+        tables += [(0x01, DC_CHR_BITS, DC_CHR_VALS),
+                   (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+    for tc_th, bits, vals in tables:
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS)]
+    ac_codes = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS)]
+    if ncomp == 3:
+        dc_codes += [_canonical_codes(DC_CHR_BITS, DC_CHR_VALS)] * 2
+        ac_codes += [_canonical_codes(AC_CHR_BITS, AC_CHR_VALS)] * 2
+
+    def emit_scan(cis: List[int], ss: int, se: int, ah: int,
+                  al: int) -> None:
+        nonlocal out
+        interleaved = len(cis) > 1
+        seg = bytearray([len(cis)])
+        for ci in cis:
+            td = 0 if ci == 0 else 1  # table ids mirror the DHT layout
+            seg += bytes([ci + 1, (td << 4) | td])
+        seg += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(seg)) + seg
+
+        bw = _BitWriter()
+        preds = {ci: 0 for ci in cis}
+        rst = 0
+
+        def dc_unit(ci: int, blk: List[int]) -> None:
+            if ah == 0:
+                v = blk[0] >> al  # DC point transform: arithmetic shift
+                cat, mbits = _magnitude(v - preds[ci])
+                preds[ci] = v
+                code, length = dc_codes[ci][cat]
+                bw.write(code, length)
+                if cat:
+                    bw.write(mbits, cat)
+            else:  # refinement: one correction bit (T.81 G.1.2.1)
+                bw.write((blk[0] >> al) & 1, 1)
+
+        def ac_first_unit(ci: int, blk: List[int]) -> None:
+            codes = ac_codes[ci]
+            r = 0
+            for k in range(ss, se + 1):
+                v = blk[k]
+                t = (v >> al) if v >= 0 else -((-v) >> al)  # sign-magnitude
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                cat, mbits = _magnitude(t)
+                code, length = codes[(r << 4) | cat]
+                bw.write(code, length)
+                bw.write(mbits, cat)
+                r = 0
+            if r:  # trailing zeros: EOB0 (run capped at 1, see docstring)
+                code, length = codes[0x00]
+                bw.write(code, length)
+
+        def ac_refine_unit(ci: int, blk: List[int]) -> None:
+            # T.81 G.1.2.3 figure G.7 (the jcphuff.c shape), EOB run
+            # capped at 1 so correction bits never buffer across blocks
+            codes = ac_codes[ci]
+            absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+            eob = -1  # last newly-nonzero index, relative to ss
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            pending: List[int] = []  # buffered correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    code, length = codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                if t > 1:  # history coefficient: next magnitude bit
+                    pending.append(t & 1)
+                    continue
+                code, length = codes[(r << 4) | 1]  # newly nonzero
+                bw.write(code, length)
+                bw.write(1 if blk[ss + i] >= 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                code, length = codes[0x00]  # EOB0 + its correction bits
+                bw.write(code, length)
+                for b in pending:
+                    bw.write(b, 1)
+
+        def unit(ci: int, blk: List[int]) -> None:
+            if ss == 0:
+                dc_unit(ci, blk)
+            elif ah == 0:
+                ac_first_unit(ci, blk)
+            else:
+                ac_refine_unit(ci, blk)
+
+        if interleaved:
+            total = mcux * mcuy
+        else:
+            _, _, comp_bw, comp_bh, _, _ = comps[cis[0]]
+            total = comp_bw * comp_bh
+        for idx in range(total):
+            if restart_interval and idx and idx % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                for c in preds:
+                    preds[c] = 0
+            if interleaved:
+                my, mx = divmod(idx, mcux)
+                for ci in cis:
+                    blocks, bw_pad, _cbw, _cbh, hc, vc = comps[ci]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            unit(ci, blocks[(my * vc + by) * bw_pad
+                                            + mx * hc + bx])
+            else:
+                ci = cis[0]
+                blocks, bw_pad, comp_bw, _cbh, _, _ = comps[ci]
+                by, bx = divmod(idx, comp_bw)
+                unit(ci, blocks[by * bw_pad + bx])
+        bw.flush()
+        out += bw.buf
+
+    if ncomp == 1:
+        emit_scan([0], 0, 0, 0, 1)    # DC first, Al=1
+        emit_scan([0], 1, 5, 0, 2)    # AC band 1-5 first, Al=2
+        emit_scan([0], 6, 63, 0, 2)   # AC band 6-63 first, Al=2
+        emit_scan([0], 0, 0, 1, 0)    # DC refinement
+        emit_scan([0], 1, 63, 2, 1)   # AC refinement 2 -> 1
+        emit_scan([0], 1, 63, 1, 0)   # AC refinement 1 -> 0
+    else:
+        emit_scan([0, 1, 2], 0, 0, 0, 1)  # interleaved DC first
+        emit_scan([0], 1, 5, 0, 2)
+        emit_scan([1], 1, 63, 0, 1)
+        emit_scan([2], 1, 63, 0, 1)
+        emit_scan([0], 6, 63, 0, 2)
+        emit_scan([0, 1, 2], 0, 0, 1, 0)  # interleaved DC refinement
+        emit_scan([0], 1, 63, 2, 1)
+        emit_scan([1], 1, 63, 1, 0)
+        emit_scan([2], 1, 63, 1, 0)
+        emit_scan([0], 1, 63, 1, 0)
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skipping
+    stuffed FF 00 pairs and FF fill bytes)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("no marker after entropy data")
+
+
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JPEG (1- or 3-component, any
-    sampling factors in a single interleaved scan).  Returns
-    (width, height, n_components, pixels) — row-major 8-bit grayscale
-    for 1 component, interleaved RGB (BT.601 inverse conversion,
-    nearest-neighbor chroma upsampling) for 3.  Parses
-    DQT/DHT/SOF0/SOS markers generically (any conforming classic
-    baseline stream, not just this module's encoders' output)."""
+    """Decode a baseline sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    JPEG — 1- or 3-component, any sampling factors, interleaved or
+    non-interleaved scans, spectral selection + successive approximation
+    (EOB runs, refinement correction bits, T.81 G.2), restart intervals
+    in both modes.  Returns (width, height, n_components, pixels) —
+    row-major 8-bit grayscale for 1 component, interleaved RGB (BT.601
+    inverse, nearest-neighbor chroma upsample) for 3.  Parses
+    DQT/DHT/DRI between scans generically (any conforming classic
+    stream, not just this module's encoders' output)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -429,7 +700,177 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     width = height = 0
     comps: List[Tuple[int, int, int, int]] = []  # (cid, H, V, tq)
-    scan: List[Tuple[int, int, int]] = []        # (cid, dc_id, ac_id)
+    progressive = False
+    restart_interval = 0
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    # per-cid: (zigzag-coeff blocks over the MCU-padded grid, padded
+    # blocks-wide, padded blocks-high, component blocks-wide/high — the
+    # un-padded grid non-interleaved scans iterate, T.81 A.2.2)
+    store: Dict[int, Tuple[List[List[int]], int, int, int, int]] = {}
+
+    def read_symbol(br: "_BitReader", tab: Dict[Tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def get_tab(tc: int, th: int) -> Dict[Tuple[int, int], int]:
+        tab = huff.get((tc, th))
+        if tab is None:
+            raise ValueError(f"missing huffman table class {tc} id {th}")
+        return tab
+
+    def decode_scan(start: int, scomps: List[Tuple[int, int, int]],
+                    ss: int, se: int, ah: int, al: int) -> int:
+        by_cid = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+        for cid, _, _ in scomps:
+            if cid not in by_cid:
+                raise ValueError(f"scan component {cid} not in frame")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError("bad spectral band")
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ss > 0 and len(scomps) != 1:
+                raise ValueError("progressive AC scan must be"
+                                 " non-interleaved")
+        br = _BitReader(data, start)
+        preds = {cid: 0 for cid, _, _ in scomps}
+        eobrun = 0
+        interleaved = len(scomps) > 1
+        # resolve entropy tables up front (clean error over KeyError)
+        tabs: Dict[int, Tuple] = {}
+        for cid, dsel, asel in scomps:
+            need_dc = (not progressive) or (ss == 0 and ah == 0)
+            need_ac = (not progressive) or ss > 0
+            tabs[cid] = (get_tab(0, dsel) if need_dc else None,
+                         get_tab(1, asel) if need_ac else None)
+
+        def decode_unit(blk: List[int], cid: int) -> None:
+            nonlocal eobrun
+            dc_tab, ac_tab = tabs[cid]
+            if not progressive:
+                t = read_symbol(br, dc_tab)
+                preds[cid] += _extend(br.bits(t), t)
+                blk[0] = preds[cid]
+                i = 1
+                while i < 64:
+                    rs = read_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            i += 16
+                            continue
+                        break  # EOB
+                    i += r
+                    if i > 63:
+                        raise ValueError("AC index overflow")
+                    blk[i] = _extend(br.bits(s), s)
+                    i += 1
+                return
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    t = read_symbol(br, dc_tab)
+                    preds[cid] += _extend(br.bits(t), t)
+                    blk[0] = preds[cid] << al
+                elif br.bit():  # refinement: one correction bit
+                    blk[0] |= 1 << al
+                return
+            if ah == 0:  # AC first scan (T.81 G.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    return
+                k = ss
+                while k <= se:
+                    rs = read_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # EOBn: this block + n-1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+                return
+            # AC refinement scan (T.81 G.2; mirrors the encoder's
+            # buffered-correction-bit order)
+            p1 = 1 << al
+            m1 = -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = read_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        val = 0  # ZRL: pass 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude")
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # tail correction bits of this block
+                    if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        if interleaved:
+            total = mcux * mcuy
+        else:
+            _, _, _, comp_bw, comp_bh = store[scomps[0][0]]
+            total = comp_bw * comp_bh
+        for mcu in range(total):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                for c in preds:
+                    preds[c] = 0
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(mcu, mcux)
+                for cid, _dsel, _asel in scomps:
+                    hc, vc, _tq = by_cid[cid]
+                    blocks, bw_pad, _bh, _cbw, _cbh = store[cid]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            decode_unit(
+                                blocks[(my * vc + by) * bw_pad
+                                       + mx * hc + bx], cid)
+            else:
+                cid = scomps[0][0]
+                blocks, bw_pad, _bh, comp_bw, _cbh = store[cid]
+                by, bx = divmod(mcu, comp_bw)
+                decode_unit(blocks[by * bw_pad + bx], cid)
+        return _next_marker_pos(data, br.pos)
+
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -437,6 +878,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: bare
+            continue
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT (possibly multiple tables)
@@ -466,7 +909,10 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + nv
             pos += seglen
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            if comps:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6])
             if precision != 8:
@@ -476,94 +922,68 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(hc for _, hc, _, _ in comps)
+            vmax = max(vc for _, _, vc, _ in comps)
+            if not width or not height or not hmax or not vmax:
+                raise ValueError("bad frame geometry")
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for cid, hc, vc, _tq in comps:
+                bw_pad, bh_pad = mcux * hc, mcuy * vc
+                cw_ = (width * hc + hmax - 1) // hmax
+                ch_ = (height * vc + vmax - 1) // vmax
+                store[cid] = ([[0] * 64 for _ in range(bw_pad * bh_pad)],
+                              bw_pad, bh_pad,
+                              (cw_ + 7) // 8, (ch_ + 7) // 8)
             pos += seglen
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0]:
-                raise ValueError("restart intervals not supported")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
             pos += seglen
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved scans not supported")
+            if not (1 <= ns <= len(comps)):
+                raise ValueError("bad scan component count")
+            scomps = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cid, tsel >> 4, tsel & 0x0F))
-            pos += seglen
-            break
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                scomps.append((cid, tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = decode_scan(pos + seglen, scomps, ss, se,
+                              ahal >> 4, ahal & 0x0F)
+            saw_scan = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline frame marker FF{marker:02X}")
+            raise ValueError(f"unsupported frame marker FF{marker:02X}")
         else:  # APPn / COM etc. — skip
             pos += seglen
-    else:
-        raise ValueError("no SOS marker")
 
-    if not width or not comps:
-        raise ValueError("missing SOF0")
-    by_cid = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
-    hmax = max(hc for _, hc, _, _ in comps)
-    vmax = max(vc for _, _, vc, _ in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # per-component padded plane + table selections, in SOS order
+    if not width or not comps or not saw_scan:
+        raise ValueError("missing SOF or SOS")
+
+    # reconstruct: dequantize + IDCT every (padded) block per component
     planes: Dict[int, Tuple[bytearray, int, int]] = {}
-    tables = []
-    for cid, dc_id, ac_id in scan:
-        hc, vc, tq = by_cid[cid]
+    for cid, hc, vc, tq in comps:
         if tq not in qtables:
             raise ValueError(f"missing quant table {tq}")
-        pw, ph = mcux * hc * 8, mcuy * vc * 8
-        planes[cid] = (bytearray(pw * ph), pw, ph)
-        tables.append((cid, hc, vc, qtables[tq],
-                       huff[(0, dc_id)], huff[(1, ac_id)]))
-    br = _BitReader(data, pos)
-
-    def read_symbol(tab: Dict[Tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.bit()
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    preds = {cid: 0 for cid, _, _ in scan}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, hc, vc, q, dc_tab, ac_tab in tables:
-                plane, pw, _ph = planes[cid]
-                for by in range(vc):
-                    for bx in range(hc):
-                        zz = [0] * 64
-                        t = read_symbol(dc_tab)
-                        preds[cid] += _extend(br.bits(t), t)
-                        zz[0] = preds[cid]
-                        i = 1
-                        while i < 64:
-                            rs = read_symbol(ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    i += 16
-                                    continue
-                                break  # EOB
-                            i += r
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            zz[i] = _extend(br.bits(s), s)
-                            i += 1
-                        coef = [0.0] * 64
-                        for j in range(64):
-                            coef[ZIGZAG[j]] = zz[j] * q[ZIGZAG[j]]
-                        spatial = _idct8x8(coef)
-                        oy = (my * vc + by) * 8
-                        ox = (mx * hc + bx) * 8
-                        for y in range(8):
-                            row = (oy + y) * pw + ox
-                            for x in range(8):
-                                v = int(math.floor(spatial[y * 8 + x]
-                                                   + 128.5))
-                                plane[row + x] = _clamp8(v)
+        q = qtables[tq]
+        blocks, bw_pad, bh_pad, _cbw, _cbh = store[cid]
+        pw, ph = bw_pad * 8, bh_pad * 8
+        plane = bytearray(pw * ph)
+        for bidx, blk in enumerate(blocks):
+            by, bx = divmod(bidx, bw_pad)
+            coef = [0.0] * 64
+            for j in range(64):
+                coef[ZIGZAG[j]] = blk[j] * q[ZIGZAG[j]]
+            spatial = _idct8x8(coef)
+            oy, ox = by * 8, bx * 8
+            for y in range(8):
+                row = (oy + y) * pw + ox
+                for x in range(8):
+                    plane[row + x] = _clamp8(
+                        int(math.floor(spatial[y * 8 + x] + 128.5)))
+        planes[cid] = (plane, pw, ph)
 
     if len(comps) == 1:
         plane, pw, _ph = planes[comps[0][0]]

@@ -795,6 +795,82 @@ def jpeg_phash(docs: DataFrame) -> DataFrame:
     return ids.mapInPandas(_jpeg_phash_batches, PHASH_SCHEMA)
 
 
+JPEG_PROG_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_scans", IntegerType()),
+    StructField("n_rst", IntegerType()),
+    StructField("identical", IntegerType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+])
+
+
+def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]
+                              ) -> Iterator[pd.DataFrame]:
+    from article_extractor_spark.core.jpeg import (decode_jpeg,
+                                                   encode_jpeg_color,
+                                                   encode_jpeg_progressive)
+    cols = ("media_id", "width", "height", "n_scans", "n_rst",
+            "identical", "sum_r", "sum_g", "sum_b")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for mid in pdf["media_id"]:
+            mid = int(mid)
+            w, h = 32 + (mid % 2) * 16, 16
+            rgb = bytearray(w * h * 3)
+            for mx in range(w // 16):
+                r, g, b = JPEG_PALETTE[(mid * 7 + mx * 13) % 8]
+                for y in range(16):
+                    for x in range(16):
+                        o = (y * w + mx * 16 + x) * 3
+                        rgb[o] = r
+                        rgb[o + 1] = g
+                        rgb[o + 2] = b
+            ri = 1 + mid % 3
+            prog = encode_jpeg_progressive(w, h, bytes(rgb),
+                                           restart_interval=ri)
+            base = encode_jpeg_color(w, h, bytes(rgb))
+            dw, dh, nc, raw = decode_jpeg(prog)
+            assert nc == 3
+            # marker counts are exact: entropy data stuffs FF -> FF 00,
+            # so FF DA / FF D0-D7 cannot appear except as real markers
+            n_scans = prog.count(b"\xFF\xDA")
+            n_rst = sum(prog.count(bytes([0xFF, 0xD0 + i]))
+                        for i in range(8))
+            out["media_id"].append(mid)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["n_scans"].append(n_scans)
+            out["n_rst"].append(n_rst)
+            out["identical"].append(
+                int(decode_jpeg(base) == (dw, dh, nc, raw)))
+            out["sum_r"].append(sum(raw[0::3]))
+            out["sum_g"].append(sum(raw[1::3]))
+            out["sum_b"].append(sum(raw[2::3]))
+        yield pd.DataFrame(out)
+
+
+def jpeg_progressive_stats(docs: DataFrame) -> DataFrame:
+    """PROGRESSIVE JPEG codec work (T.81 Annex G: spectral selection,
+    successive approximation, DC/AC refinement scans, restart
+    intervals): per doc the color-stripe image is encoded as a 10-scan
+    SOF2 stream with a doc-dependent restart interval, decoded back
+    through the multi-scan coefficient-store path, and compared against
+    the baseline encoding's decode.  The oracle pins the scan count
+    (10), the restart-marker count (closed formula over the per-scan
+    data-unit totals), byte-identity with the baseline decode
+    (progressive reorders the same quantized coefficients), and the
+    per-channel pixel sums."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    ids = ensure_min_partitions(
+        docs.select(F.col("doc_id").alias("media_id")))
+    return ids.mapInPandas(_jpeg_progressive_batches, JPEG_PROG_SCHEMA)
+
+
 def _pdf_foreign_batches(batches: Iterator[pd.DataFrame]
                          ) -> Iterator[pd.DataFrame]:
     import hashlib

@@ -94,7 +94,7 @@ def test_color_jpeg_lossy_on_general_content_but_bounded():
     assert (dw, dh, nc) == (w, h, 3)
 
 
-def test_decode_jpeg_handles_gray_and_rejects_progressive_and_dri():
+def test_decode_jpeg_handles_gray_and_inconsistent_streams():
     from article_extractor_spark.core.jpeg import (decode_jpeg,
                                                    decode_jpeg_gray,
                                                    encode_jpeg_gray)
@@ -105,14 +105,22 @@ def test_decode_jpeg_handles_gray_and_rejects_progressive_and_dri():
     dw, dh, nc, raw = decode_jpeg(data)
     assert (dw, dh, nc) == (w, h, 1)
     assert raw == decode_jpeg_gray(data)[2]
-    # progressive SOF2 marker must be rejected cleanly
+    # SOF0 flipped to SOF2 over a sequential scan header (Ss=0, Se=63)
+    # is an invalid progressive stream: must be rejected cleanly, not
+    # misdecoded (a progressive DC scan requires Se=0, T.81 G.1)
     prog = data.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
     with pytest.raises(ValueError):
         decode_jpeg(prog)
-    # nonzero DRI interval is unsupported (declared seam, not a crash)
+    # a DRI segment whose interval never divides an MCU index inside this
+    # 2-MCU image is consistent with a marker-free entropy stream: the
+    # decoder must accept it and produce identical pixels (restart
+    # support landed in round 5)
     dri = data[:2] + b"\xFF\xDD\x00\x04\x00\x08" + data[2:]
+    assert decode_jpeg(dri)[3] == raw
+    # ... but an interval of 1 demands RST markers the stream lacks
+    dri_bad = data[:2] + b"\xFF\xDD\x00\x04\x00\x01" + data[2:]
     with pytest.raises(ValueError):
-        decode_jpeg(dri)
+        decode_jpeg(dri_bad)
 
 
 def test_decode_image_real_falls_back_on_unsupported_jpeg():
