@@ -1424,6 +1424,18 @@ def q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_train_split(spark, sf_dir):
+    """Leakage-safe corpus split: host-disjoint train/val/test
+    assignment (hash of the GROUP, never the doc — no site straddles a
+    split boundary) plus a per-host top-20 cap by n_chars (Zipfian
+    head-host damping).  Zero-shuffle assignment + one groupBy-key
+    shuffle for the cap (operators/splits.py)."""
+    from article_extractor_spark.operators.splits import train_split
+
+    return train_split(_docs(spark, sf_dir), group_col="source",
+                       val_pct=10, test_pct=10, cap=20)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1678,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_full": q_kmeans_full,
         "semantic_dedup": q_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
+        "train_split": q_train_split,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -3173,6 +3186,25 @@ WHERE cast(concat('0x', substr(md5('mix1' || ':' || CAST(doc_id AS VARCHAR)), 1,
       < (CASE lang WHEN 'zh' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
                    WHEN 'es' THEN 0.2 WHEN 'en' THEN 0.1 ELSE 0.0 END)
         * 1152921504606846976.0
+"""
+
+    # host-disjoint split: bucket hashed from the GROUP (source), cap
+    # ranked by n_chars DESC, doc_id ASC — both fully deterministic
+    sql["train_split"] = """
+SELECT doc_id, source,
+       CASE WHEN b < 10 THEN 'val'
+            WHEN b < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(grp_rank AS INTEGER) AS grp_rank,
+       grp_rank <= 20 AS kept
+FROM (
+  SELECT doc_id, source,
+         cast(concat('0x', substr(md5('split1' || ':' || source), 1, 15))
+              as ubigint)::bigint % 100 AS b,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS grp_rank
+  FROM documents
+)
 """
 
     sql["pack_sequences"] = r"""

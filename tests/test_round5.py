@@ -532,3 +532,48 @@ def test_bigram_logprob_short_docs_zero(spark):
     assert rows[1].n_bigrams == 0 and rows[1].avg_neg_log2p == 0.0
     assert rows[2].n_bigrams == 0 and rows[3].n_bigrams == 0
     assert rows[4].n_bigrams == 1 and rows[4].avg_neg_log2p > 0.0
+
+
+# ------------------------------------------------------- leakage-safe splits
+
+def test_train_split_host_disjoint(spark):
+    """Every group lands in exactly one split, regardless of its docs."""
+    from article_extractor_spark.operators.splits import train_split
+
+    rows = [(i, f"h{i % 7}", 100 + i) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = train_split(df, cap=5).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # 70 rows in, 70 rows out (cap flags, never drops)
+    assert len(out) == 70
+    assert sum(r.kept for r in out) == 7 * 5
+
+
+def test_train_split_threshold_property(spark):
+    """Growing val_pct only moves groups train->val: existing val groups
+    stay val (append-only split growth, same hash, bigger threshold)."""
+    from article_extractor_spark.operators.splits import assign_split
+
+    rows = [(i, f"host{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {r.source: r.split for r in
+             assign_split(df, val_pct=5, test_pct=0).collect()}
+    big = {r.source: r.split for r in
+           assign_split(df, val_pct=20, test_pct=0).collect()}
+    for host, s in small.items():
+        if s == "val":
+            assert big[host] == "val"
+
+
+def test_cap_per_group_deterministic_order(spark):
+    """Rank is n_chars DESC then doc_id ASC — ties break identically on
+    every run/partitioning."""
+    from article_extractor_spark.operators.splits import cap_per_group
+
+    rows = [(1, "h", 50), (2, "h", 90), (3, "h", 90), (4, "h", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.doc_id: r.grp_rank for r in cap_per_group(df, cap=2).collect()}
+    assert got == {2: 1, 3: 2, 1: 3, 4: 4}
