@@ -1436,6 +1436,23 @@ def q_train_split(spark, sf_dir):
                        val_pct=10, test_pct=10, cap=20)
 
 
+def q_to_markdown(spark, sf_dir):
+    """FULL extraction chain + Markdown rendering (core/markdown.py):
+    pages -> extract_articles -> deterministic HTML->Markdown -> md5 +
+    structural line counts.  The oracle embeds per-url expected values
+    computed by the pure-Python twin (same renderer over the
+    byte-identical page template), so the driver's hash gate pins the
+    ENTIRE markdown byte stream, per document."""
+    from article_extractor_spark.operators.extract import extract_articles
+    from article_extractor_spark.operators.render import markdown_stats
+
+    arts = extract_articles(_pages(spark, sf_dir),
+                            config_broadcast=_configs(spark),
+                            num_partitions=16)
+    return markdown_stats(
+        arts.select("url", F.coalesce(F.col("text"), F.lit("")).alias("text")))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1691,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
         "train_split": q_train_split,
+        "to_markdown": q_to_markdown,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -1930,6 +1948,58 @@ def _expected_extraction_values(sf_dir: str | None = None) -> list:
     return rows
 
 
+_EXPECTED_MARKDOWN_CACHE: dict[str, list] = {}
+
+
+def _expected_markdown_values(sf_dir: str | None = None) -> list:
+    """Expected (url, md_md5, md_bytes, n_lines, n_heading_lines,
+    n_list_lines) rows for the ``to_markdown`` oracle: pure-Python
+    extraction twin + the same core/markdown.py renderer, counts
+    recomputed with Python regexes matching the Spark rlike patterns."""
+    if sf_dir is None:
+        sf_dir = os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    if sf_dir in _EXPECTED_MARKDOWN_CACHE:
+        return _EXPECTED_MARKDOWN_CACHE[sf_dir]
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from article_extractor_spark.core.config import ConfigCollection
+    from article_extractor_spark.core.fulltext import FullTextParser
+    from article_extractor_spark.core.markdown import html_to_markdown
+    from article_extractor_spark.core.urlutil import Url, UrlError
+    from article_extractor_spark.sources.pages import synthesize_page_py
+
+    head_re = _re.compile(r"^#{1,6} ")
+    list_re = _re.compile(r"^ *(- |[0-9]+\. )")
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, source FROM read_parquet('{path}')"
+    ).fetchall()
+    parser = FullTextParser(ConfigCollection())
+    rows = []
+    for doc_id, text, source in docs:
+        url, html = synthesize_page_py(doc_id, text, source)
+        try:
+            u = Url.parse(url)
+        except UrlError:
+            u = None
+        try:
+            art = parser.parse_offline([html], url=u)
+            extracted = art.html if art is not None else None
+        except Exception:
+            extracted = None
+        md = html_to_markdown(extracted) if extracted else ""
+        b = md.encode("utf-8")
+        lines = md.split("\n") if md else []
+        rows.append((url, hashlib.md5(b).hexdigest(), len(b), len(lines),
+                     sum(1 for ln in lines if head_re.match(ln)),
+                     sum(1 for ln in lines if list_re.match(ln))))
+    _EXPECTED_MARKDOWN_CACHE[sf_dir] = rows
+    return rows
+
+
 _E2E_CACHE: dict[str, list] = {}
 
 
@@ -2047,6 +2117,25 @@ WITH {_PAGES_CTE.strip()},
 expected(url, title, text_md5, text_bytes) AS (VALUES
 {_exp_vals})
 SELECT p.url, e.title, e.text_md5, CAST(e.text_bytes AS INTEGER) AS text_bytes
+FROM pages p JOIN expected e ON e.url = p.url
+"""
+
+    _md_vals = ",\n".join(
+        f"({_q(url)}, {_q(md5)}, {nb}, {nl}, {nh}, {nli})"
+        for url, md5, nb, nl, nh, nli in _expected_markdown_values()
+    )
+    # expected rows from the pure-Python extraction+markdown twin; joined
+    # against the pages CTE so url-set drift fails loudly (same pattern as
+    # extract_fulltext)
+    sql["to_markdown"] = f"""
+WITH {_PAGES_CTE.strip()},
+expected(url, md_md5, md_bytes, n_lines, n_heading_lines, n_list_lines)
+  AS (VALUES
+{_md_vals})
+SELECT p.url, e.md_md5, CAST(e.md_bytes AS INTEGER) AS md_bytes,
+       CAST(e.n_lines AS INTEGER) AS n_lines,
+       CAST(e.n_heading_lines AS INTEGER) AS n_heading_lines,
+       CAST(e.n_list_lines AS INTEGER) AS n_list_lines
 FROM pages p JOIN expected e ON e.url = p.url
 """
 

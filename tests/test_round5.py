@@ -577,3 +577,64 @@ def test_cap_per_group_deterministic_order(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     got = {r.doc_id: r.grp_rank for r in cap_per_group(df, cap=2).collect()}
     assert got == {2: 1, 3: 2, 1: 3, 4: 4}
+
+
+# ------------------------------------------------------ markdown rendering
+
+def test_markdown_structural_elements():
+    from article_extractor_spark.core.markdown import html_to_markdown
+
+    html = ("<body><h2>A  Title</h2><p>Text <strong>bold</strong> "
+            '<em>it</em> <code>c()</code> <a href="https://x/y">lnk</a> '
+            '<img src="i.png" alt="p q"></p>'
+            "<ul><li>one</li><li>two</li></ul>"
+            "<ol><li>f</li><li>s</li></ol>"
+            "<blockquote><p>q1</p></blockquote>"
+            "<pre>raw\n  code</pre>"
+            "<table><tr><th>h</th></tr><tr><td>v|w</td></tr></table>"
+            "<hr></body>")
+    assert html_to_markdown(html) == (
+        "## A Title\n\n"
+        "Text **bold** *it* `c()` [lnk](https://x/y) ![p q](i.png)\n\n"
+        "- one\n- two\n\n"
+        "1. f\n2. s\n\n"
+        "> q1\n\n"
+        "```\nraw\n  code\n```\n\n"
+        "| h |\n| --- |\n| v\\|w |\n\n"
+        "---")
+
+
+def test_markdown_whitespace_invariance():
+    """Formatting-only HTML differences must render identically — the
+    property that makes markdown output stable for dedup."""
+    from article_extractor_spark.core.markdown import html_to_markdown
+
+    a = "<body><h1>T</h1><p>one two</p></body>"
+    b = "<body>\n  <h1>\n    T\n  </h1>\n  <p>\n one\n\ttwo </p>\n</body>"
+    assert html_to_markdown(a) == html_to_markdown(b) == "# T\n\none two"
+
+
+def test_markdown_edge_inputs():
+    from article_extractor_spark.core.markdown import html_to_markdown
+
+    assert html_to_markdown("") == ""
+    assert html_to_markdown(None) == ""
+    assert html_to_markdown("<p></p>") == ""
+    assert html_to_markdown("<script>x()</script><p>ok</p>") == "ok"
+    # unknown inline elements render their children, never nothing
+    assert html_to_markdown("<p><foo>kept</foo></p>") == "kept"
+    # br is a line break within the paragraph block
+    assert html_to_markdown("<p>a<br>b</p>") == "a\nb"
+
+
+def test_markdown_stats_spark(spark):
+    from article_extractor_spark.operators.render import markdown_stats
+
+    rows = [("u1", "<h1>T</h1><p>body</p><ul><li>x</li></ul>"),
+            ("u2", ""), ("u3", None)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r.url: r for r in markdown_stats(df).collect()}
+    assert got["u1"].n_lines == 5  # "# T", "", "body", "", "- x"
+    assert got["u1"].n_heading_lines == 1 and got["u1"].n_list_lines == 1
+    assert got["u2"].md_bytes == 0 and got["u2"].n_lines == 0
+    assert got["u3"].md_bytes == 0  # NULL html -> '' sentinel, total hash
