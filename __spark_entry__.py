@@ -1453,6 +1453,19 @@ def q_to_markdown(spark, sf_dir):
         arts.select("url", F.coalesce(F.col("text"), F.lit("")).alias("text")))
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary TRAINING (operators/vocab.py):
+    corpus-sized word counting runs in Spark (pretokenize -> explode ->
+    groupBy -> deterministic top-K), the merge loop runs the
+    INCREMENTAL pair-delta algorithm over the bounded word table; the
+    oracle replays training with the independent naive full-recount
+    reference, so the two algorithms must agree merge-for-merge and
+    frequency-for-frequency."""
+    from article_extractor_spark.operators.vocab import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=60)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1709,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "train_split": q_train_split,
         "to_markdown": q_to_markdown,
+        "bpe_train": q_bpe_train,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -2000,6 +2014,59 @@ def _expected_markdown_values(sf_dir: str | None = None) -> list:
     return rows
 
 
+_BPE_TRAIN_CACHE: dict[str, list] = {}
+
+
+def _expected_bpe_train_values(sf_dir: str | None = None) -> list:
+    """Expected (rank, left, right, freq) merges for the ``bpe_train``
+    oracle: the INDEPENDENT naive full-recount trainer (scripts/
+    train_bpe.py semantics — recount every pair every round) over word
+    counts read straight from the parquet via DuckDB.  The operator
+    under test uses the incremental pair-delta algorithm and Spark
+    counting; both must agree exactly."""
+    if sf_dir is None:
+        sf_dir = os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    if sf_dir in _BPE_TRAIN_CACHE:
+        return _BPE_TRAIN_CACHE[sf_dir]
+    import collections
+    import re as _re
+
+    import duckdb
+
+    pretoken = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    path = os.path.join(sf_dir, "documents.parquet")
+    texts = duckdb.sql(
+        f"SELECT coalesce(text, '') FROM read_parquet('{path}')").fetchall()
+    words = collections.Counter()
+    for (t,) in texts:
+        for w in pretoken.findall(t):
+            words[tuple(w)] += 1
+    rows = []
+    for rank in range(60):
+        pairs = collections.Counter()
+        for sym, freq in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        rows.append((rank, best[0], best[1], pairs[best]))
+        new_words = collections.Counter()
+        for sym, freq in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] += freq
+        words = new_words
+    _BPE_TRAIN_CACHE[sf_dir] = rows
+    return rows
+
+
 _E2E_CACHE: dict[str, list] = {}
 
 
@@ -2137,6 +2204,17 @@ SELECT p.url, e.md_md5, CAST(e.md_bytes AS INTEGER) AS md_bytes,
        CAST(e.n_heading_lines AS INTEGER) AS n_heading_lines,
        CAST(e.n_list_lines AS INTEGER) AS n_list_lines
 FROM pages p JOIN expected e ON e.url = p.url
+"""
+
+    _bpe_train_vals = ",\n".join(
+        f"({r}, {_q(a)}, {_q(b)}, {c})"
+        for r, a, b, c in _expected_bpe_train_values()
+    )
+    sql["bpe_train"] = f"""
+SELECT CAST(rank AS INTEGER) AS rank, left_sym AS left, right_sym AS right,
+       CAST(freq AS BIGINT) AS freq
+FROM (VALUES
+{_bpe_train_vals}) AS t(rank, left_sym, right_sym, freq)
 """
 
     sql["clean_fragments"] = """

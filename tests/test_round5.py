@@ -638,3 +638,79 @@ def test_markdown_stats_spark(spark):
     assert got["u1"].n_heading_lines == 1 and got["u1"].n_list_lines == 1
     assert got["u2"].md_bytes == 0 and got["u2"].n_lines == 0
     assert got["u3"].md_bytes == 0  # NULL html -> '' sentinel, total hash
+
+
+# ---------------------------------------------------- distributed BPE train
+
+def _naive_bpe(freqs, n):
+    """Full-recount reference trainer (scripts/train_bpe.py semantics)."""
+    import collections
+    words = collections.Counter()
+    for w, f in freqs:
+        words[tuple(w)] += f
+    merges = []
+    for _ in range(n):
+        pairs = collections.Counter()
+        for sym, freq in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pairs[best]))
+        new_words = collections.Counter()
+        for sym, freq in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] += freq
+        words = new_words
+    return merges
+
+
+def test_bpe_train_incremental_equals_recount():
+    """The operator's incremental pair-delta loop must agree with the
+    naive full-recount reference merge-for-merge (randomized)."""
+    import random
+
+    from article_extractor_spark.operators.vocab import _train_merges
+
+    rng = random.Random(11)
+    for _ in range(60):
+        freqs = [("".join(rng.choice("abcx") for _ in range(rng.randint(1, 8))),
+                  rng.randint(1, 9)) for _ in range(rng.randint(1, 30))]
+        n = rng.randint(1, 20)
+        assert _train_merges(freqs, n) == _naive_bpe(freqs, n)
+
+
+def test_bpe_train_spark_end_to_end(spark):
+    from article_extractor_spark.operators.vocab import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "low lowest! new newer")],
+        "doc_id long, text string")
+    got = [(r.rank, r.left, r.right, r.freq)
+           for r in bpe_train(df, n_merges=3).collect()]
+    # corpus pretokens: low x4, lower, lowest x2, '!', new, newer
+    # pair (l,o) and (o,w) both appear 7x -> tie broken to the
+    # lexicographically greatest pair (o,w); then (l,ow) 7x; then
+    # (low,e) in lower+lowest+newer? no - 'e' follows 'low' only in
+    # lower/lowest (3 words: lower 1 + lowest 2 = 3)
+    assert got[0] == (0, "o", "w", 7)
+    assert got[1] == (1, "l", "ow", 7)
+    assert got[2] == (2, "low", "e", 3)
+
+
+def test_bpe_train_top_k_cap_deterministic(spark):
+    """top_k bounds driver state; selection is (freq DESC, word ASC)."""
+    from article_extractor_spark.operators.vocab import word_counts
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc bb aa")], "doc_id long, text string")
+    rows = [(r.word, r.freq) for r in word_counts(df, top_k=2).collect()]
+    assert rows == [("aa", 3), ("bb", 2)]
