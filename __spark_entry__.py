@@ -1466,6 +1466,30 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=60)
 
 
+def q_perceptron_train(spark, sf_dir):
+    """Distributed classifier TRAINING (operators/classify.py):
+    integer batch perceptron — one aggregation per iteration with
+    map-side combine, weight vector = the only driver state.  Every
+    margin/update/weight is a bigint, so the oracle (3 unrolled
+    iterations as SQL CTEs) pins training exactly."""
+    from article_extractor_spark.operators.classify import perceptron_train
+
+    return perceptron_train(_docs(spark, sf_dir), n_iter=3)
+
+
+def q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch (operators/cms.py): d=4 x w=64 integer
+    counters built in one shuffle (<=256 rows regardless of corpus
+    size), probed for the 10 English stopwords + one absent word;
+    emits (word, true_cnt, est_cnt, overestimate_ok) with the CMS
+    guarantee est >= true as a checkable boolean per probe."""
+    from article_extractor_spark.operators.cms import cms_point_query
+    from article_extractor_spark.operators.textstats import LANG_WORDS
+
+    probes = list(LANG_WORDS["en"]) + ["zzzqqq"]
+    return cms_point_query(_docs(spark, sf_dir), probes)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1723,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "to_markdown": q_to_markdown,
         "bpe_train": q_bpe_train,
+        "perceptron_train": q_perceptron_train,
+        "countmin_freq": q_countmin_freq,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -2165,6 +2191,90 @@ def _expected_e2e_values(sf_dir: str | None = None) -> list:
     return rows
 
 
+def _perceptron_sql() -> str:
+    """3 unrolled perceptron iterations as CTEs: iteration k counts
+    misclassifications under iteration k-1's weights (FILTER keeps the
+    row even when nothing is misclassified) and adds the integer
+    update.  Must agree bigint-for-bigint with operators/classify.py."""
+    arr = ", ".join(f"'{w}'" for w in _LANG_WORDS["en"])
+    upd = ("coalesce(sum(CAST(y * {x} AS BIGINT)) FILTER (WHERE {mis}), 0)")
+    i0_mis = "y * 0 <= 0"
+    mis_t = ("y * ({w0} * x0 + {w1} * x1 + {w2} * x2 + {w3} * x3) <= 0")
+
+    def iter_cte(name, prev, mis):
+        cols = ", ".join(
+            f"CAST({prev}.w{i} + {upd.format(x=f'x{i}', mis=mis)} AS BIGINT)"
+            f" AS w{i}" for i in range(4))
+        return (f"{name} AS (SELECT CAST(count(*) FILTER (WHERE {mis}) "
+                f"AS BIGINT) AS n_mis, {cols} "
+                f"FROM f CROSS JOIN {prev} "
+                f"GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3)")
+
+    i1_cols = ", ".join(
+        f"CAST({upd.format(x=f'x{i}', mis=i0_mis)} AS BIGINT) AS w{i}"
+        for i in range(4))
+    return f"""
+WITH docs AS (SELECT coalesce(text, '') AS text, lang,
+                     coalesce(n_chars, 0) AS n_chars FROM documents),
+f AS (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> list_contains([{arr}], t))) AS BIGINT)
+           AS x1,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+           AS x2,
+         CAST(n_chars AS BIGINT) AS x3
+  FROM docs),
+i1 AS (SELECT CAST(count(*) FILTER (WHERE {i0_mis}) AS BIGINT) AS n_mis,
+       {i1_cols} FROM f),
+{iter_cte("i2", "i1", mis_t.format(w0="i1.w0", w1="i1.w1",
+                                   w2="i1.w2", w3="i1.w3"))},
+{iter_cte("i3", "i2", mis_t.format(w0="i2.w0", w1="i2.w1",
+                                   w2="i2.w2", w3="i2.w3"))}
+SELECT CAST(0 AS INTEGER) AS iter, * FROM i1
+UNION ALL SELECT CAST(1 AS INTEGER), * FROM i2
+UNION ALL SELECT CAST(2 AS INTEGER), * FROM i3
+"""
+
+
+def _countmin_sql() -> str:
+    """Replays the d=4 x w=64 Count-Min sketch and its point queries
+    with the same md5 bucket hash as operators/cms.py."""
+    probes = list(_LANG_WORDS["en"]) + ["zzzqqq"]
+    probe_vals = ", ".join(f"('{w}')" for w in probes)
+    bkt = ("cast(concat('0x', substr(md5('cms' || CAST({r} AS VARCHAR) "
+           "|| ':' || {tok}), 1, 15)) as ubigint)::bigint % 64")
+    return f"""
+WITH toks AS (
+  SELECT t.token
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(coalesce(d.text, '')), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''),
+rows(row) AS (VALUES (0), (1), (2), (3)),
+sketch AS (
+  SELECT r.row, {bkt.format(r="r.row", tok="token")} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN rows r
+  GROUP BY 1, 2),
+probes(word) AS (VALUES {probe_vals}),
+est AS (
+  SELECT p.word, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM probes p CROSS JOIN rows r
+  LEFT JOIN sketch s
+    ON s.row = r.row AND s.bucket = {bkt.format(r="r.row", tok="p.word")}
+  GROUP BY p.word),
+tru AS (
+  SELECT token AS word, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM toks WHERE token IN (SELECT word FROM probes)
+  GROUP BY token)
+SELECT e.word, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+       e.est_cnt, e.est_cnt >= coalesce(t.true_cnt, 0) AS overestimate_ok
+FROM est e LEFT JOIN tru t ON t.word = e.word
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     h_url = _H.format(x="url")
     sql = {}
@@ -2216,6 +2326,9 @@ SELECT CAST(rank AS INTEGER) AS rank, left_sym AS left, right_sym AS right,
 FROM (VALUES
 {_bpe_train_vals}) AS t(rank, left_sym, right_sym, freq)
 """
+
+    sql["perceptron_train"] = _perceptron_sql()
+    sql["countmin_freq"] = _countmin_sql()
 
     sql["clean_fragments"] = """
 SELECT 'https://frag.example.com/' || CAST(doc_id AS VARCHAR) AS url,

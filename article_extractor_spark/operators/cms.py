@@ -1,0 +1,89 @@
+"""Count-Min sketch: sub-linear token-frequency estimation.
+
+Completes the sketch family (KMV distinct-count, HLL union, Bloom
+membership in `sketches.py`) with the frequency estimator used for
+heavy-hitter detection and streaming word statistics (Cormode &
+Muthukrishnan 2005).  Deterministic md5-derived row hashes, integer
+counters only — the driver's value oracle replays the sketch AND the
+point queries exactly in SQL, and pins the structural guarantee
+est >= true per probe.
+
+100 TB shape: building the sketch is ONE shuffle of (row, bucket)
+pairs — d x corpus tokens map-side, combined into at most d*w rows
+(d=4, w=64 here => <=256 counters TOTAL, independent of corpus size).
+The sketch table is broadcastable by construction; point queries join
+the d-row probe expansion against it and take min per key.  This is
+the aggregation-light alternative to an exact groupBy(word) when the
+vocabulary itself is too large to shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+D_ROWS = 4
+WIDTH = 64
+
+
+def _bucket_expr(row: int, token_expr: str) -> str:
+    """hash60('cms<row>:' || token) % WIDTH — same md5 idiom as the
+    engine's other deterministic hashes."""
+    return (f"cast(conv(substr(md5(concat('cms{row}', ':', {token_expr})), "
+            f"1, 15), 16, 10) as bigint) % {WIDTH}")
+
+
+def cms_build(df: DataFrame, text_col: str = "text",
+              d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) — at most d*width rows."""
+    toks = (df.select(F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+        .alias("token"))
+        .where(F.col("token") != ""))
+    rows = None
+    for r in range(d):
+        part = toks.select(
+            F.lit(r).alias("row"),
+            F.expr(_bucket_expr(r, "token")).alias("bucket"))
+        rows = part if rows is None else rows.unionByName(part)
+    return (rows.groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def cms_point_query(df: DataFrame, probes: list[str],
+                    text_col: str = "text",
+                    d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
+    """Estimate frequencies for ``probes``: (word, true_cnt, est_cnt,
+    overestimate_ok).  est = min over rows of the probed counter; the
+    CMS guarantee est >= true holds for every probe (collisions only
+    inflate) — emitted as a checkable boolean."""
+    spark = df.sparkSession
+    sketch = cms_build(df, text_col=text_col, d=d, width=width)
+    probe_rows = [(w, r) for w in probes for r in range(d)]
+    pdf = spark.createDataFrame(probe_rows, "word string, row int")
+    pdf = pdf.withColumn("bucket", F.expr(_bucket_expr_col("row", "word",
+                                                           width)))
+    est = (F.broadcast(pdf)
+           .join(sketch, ["row", "bucket"], "left")
+           .groupBy("word")
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("bigint").alias("est_cnt")))
+    toks = (df.select(F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+        .alias("token"))
+        .where(F.col("token") != ""))
+    true = (toks.where(F.col("token").isin(probes))
+            .groupBy(F.col("token").alias("word"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt")))
+    return (est.join(true, "word", "left")
+            .select("word",
+                    F.coalesce(F.col("true_cnt"), F.lit(0)).cast("bigint")
+                    .alias("true_cnt"),
+                    "est_cnt",
+                    (F.col("est_cnt") >=
+                     F.coalesce(F.col("true_cnt"), F.lit(0)))
+                    .alias("overestimate_ok")))
+
+
+def _bucket_expr_col(row_col: str, word_col: str, width: int) -> str:
+    return (f"cast(conv(substr(md5(concat('cms', cast({row_col} as string), "
+            f"':', {word_col})), 1, 15), 16, 10) as bigint) % {width}")

@@ -714,3 +714,92 @@ def test_bpe_train_top_k_cap_deterministic(spark):
         [(1, "aa bb aa cc bb aa")], "doc_id long, text string")
     rows = [(r.word, r.freq) for r in word_counts(df, top_k=2).collect()]
     assert rows == [("aa", 3), ("bb", 2)]
+
+
+# ------------------------------------------------------- perceptron training
+
+def _naive_perceptron(rows, n_iter):
+    """Pure-Python batch perceptron twin of classify.perceptron_train:
+    rows = (y, x0..x3); returns [(iter, n_mis, w0..w3)]."""
+    w = [0, 0, 0, 0]
+    out = []
+    for t in range(n_iter):
+        mis = [r for r in rows
+               if r[0] * sum(w[i] * r[1 + i] for i in range(4)) <= 0]
+        upd = [sum(r[0] * r[1 + i] for r in mis) for i in range(4)]
+        w = [w[i] + upd[i] for i in range(4)]
+        out.append((t, len(mis), *w))
+    return out
+
+
+def test_perceptron_train_matches_naive(spark):
+    from article_extractor_spark.operators.classify import perceptron_train
+
+    docs = [
+        (1, "the cat and the dog sat on the mat", "en"),
+        (2, "der hund und die katze", "de"),
+        (3, "to be or not to be that is the question", "en"),
+        (4, "el perro y el gato en la casa", "es"),
+        (5, "", "en"),
+        (6, None, "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, len(t) if t else 0) for i, t, lang in docs],
+        "doc_id long, text string, lang string, n_chars long")
+
+    en = {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"}
+    rows = []
+    for _, t, lang, n in [(i, t, lang, len(t) if t else 0)
+                          for i, t, lang in docs]:
+        toks = (t or "").lower().split()
+        # split('\\s+') on '' yields [''] -> size 1; filter drops non-matches
+        x2 = len((t or "").split()) if (t or "").strip() else 1
+        rows.append((1 if lang == "en" else -1, 1,
+                     sum(1 for w in toks if w in en), x2, n))
+    got = [tuple(r) for r in perceptron_train(df, n_iter=4).collect()]
+    assert got == _naive_perceptron(rows, 4)
+
+
+def test_perceptron_converges_on_separable(spark):
+    """On a linearly separable toy set, n_mis must reach 0 and the
+    weights must then freeze (no updates from an empty mis set... note
+    margin<=0 means a zero-weight restart flags everything; separable
+    here means it settles after enough iterations)."""
+    from article_extractor_spark.operators.classify import perceptron_train
+
+    df = spark.createDataFrame(
+        [(1, "the the the the", "en", 400),
+         (2, "x", "de", 1)],
+        "doc_id long, text string, lang string, n_chars long")
+    res = [tuple(r) for r in perceptron_train(df, n_iter=6).collect()]
+    # once n_mis hits 0 the weights never change again
+    frozen = None
+    for row in res:
+        if row[1] == 0:
+            if frozen is None:
+                frozen = row[2:]
+            assert row[2:] == frozen
+
+
+# ------------------------------------------------------------ count-min
+
+def test_cms_overestimates_and_bounds(spark):
+    from article_extractor_spark.operators.cms import cms_build, cms_point_query
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a b zz"), (2, "b c d a")],
+        "doc_id long, text string")
+    sketch = cms_build(df)
+    assert sketch.count() <= 4 * 64  # d*w hard cap, corpus-independent
+    # every row of the sketch sums to the total token count
+    import pyspark.sql.functions as F
+    per_row = {r["row"]: r["s"] for r in
+               sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_row == {0: 11, 1: 11, 2: 11, 3: 11}
+
+    got = {r.word: (r.true_cnt, r.est_cnt, r.overestimate_ok)
+           for r in cms_point_query(df, ["a", "b", "d", "nope"]).collect()}
+    assert got["a"][0] == 4 and got["b"][0] == 3 and got["d"][0] == 1
+    assert got["nope"][0] == 0
+    for w, (t, e, ok) in got.items():
+        assert ok and e >= t
