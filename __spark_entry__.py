@@ -1490,6 +1490,37 @@ def q_countmin_freq(spark, sf_dir):
     return cms_point_query(_docs(spark, sf_dir), probes)
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-k retrieval (operators/search.py): Lucene-shaped idf +
+    tf normalization, per-term contributions quantized to 1e-6
+    micro-units before the doc-keyed sum, global top-10 via
+    TakeOrderedAndProject; ties broken by lowest doc_id."""
+    from article_extractor_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir),
+                     ["the", "data", "with", "analysis"], k=10)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): hashed-bigram
+    log-likelihood ratio of the lang='en' target slice vs the raw
+    pool, 256 md5 buckets, add-one smoothing; per-bucket log-ratios
+    quantized to 1e-6 micro-units, per-doc sums exact bigints."""
+    from article_extractor_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Log-bucket quantile sketch (operators/quantiles.py): bit-length
+    histogram (<= ~64 rows at any corpus size), percentile estimate =
+    bucket upper bound, exact order statistic via selection-by-
+    histogram; pins the 2-approximation guarantee per probe."""
+    from article_extractor_spark.operators.quantiles import quantile_sketch
+
+    return quantile_sketch(_docs(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cluster the embeddings (1 Lloyd round, same
     seeding as kmeans_full), drop every vector with a lower-id
@@ -1749,6 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "perceptron_train": q_perceptron_train,
         "countmin_freq": q_countmin_freq,
+        "bm25_search": q_bm25_search,
+        "dsir_weights": q_dsir_weights,
+        "quantile_sketch": q_quantile_sketch,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -2275,6 +2309,129 @@ FROM est e LEFT JOIN tru t ON t.word = e.word
 """
 
 
+def _bm25_sql() -> str:
+    """Replays bm25_topk: identical double expression tree (ln-idf,
+    tf normalization, avgdl as a division of exact casts), per-term
+    quantize-before-sum, top-10 by (score DESC, doc_id)."""
+    terms = ", ".join(f"'{t}'" for t in ("the", "data", "with", "analysis"))
+    return f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+toks AS (
+  SELECT doc_id, u.tok
+  FROM docs, LATERAL unnest(list_filter(
+      regexp_split_to_array(lower(t), '\\s+'), x -> x <> '')) AS u(tok)),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+tot AS (SELECT CAST(coalesce(CAST(sum(CAST(dl AS BIGINT)) AS BIGINT), 0)
+                    AS BIGINT) AS total FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round((ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                     * ((tf * 2.2) /
+                        (tf + 1.2 * (0.25 + (0.75 * dl) /
+                                     (CAST(total AS DOUBLE)
+                                      / CAST(n AS DOUBLE))))))
+                    * 1000000.0) AS BIGINT) AS q
+  FROM tf t JOIN dfq USING (tok) JOIN dl USING (doc_id), nd, tot),
+per AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS matched_terms,
+         CAST(sum(q) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1)
+SELECT doc_id, matched_terms, score_micro
+FROM per ORDER BY score_micro DESC, doc_id LIMIT 10
+"""
+
+
+def _dsir_sql() -> str:
+    """Replays dsir_weights: hashed-bigram buckets (cms.py md5 idiom),
+    count-based bucket/total stats, the 4-term ln expansion quantized
+    per bucket, per-doc bigint sums."""
+    bkt = ("cast(concat('0x', substr(md5('dsir:' || w1 || ' ' || w2), "
+           "1, 15)) as ubigint)::bigint % 256")
+    return f"""
+WITH docs AS (SELECT doc_id, lang = 'en' AS is_t,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS w
+              FROM documents),
+grams AS (
+  SELECT doc_id, is_t, {bkt} AS bucket
+  FROM (SELECT doc_id, is_t, w[i.i + 1] AS w1, w[i.i + 2] AS w2
+        FROM docs, LATERAL unnest(range(len(w) - 1)) AS i(i)
+        WHERE len(w) >= 2)),
+buckets AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM grams GROUP BY 1),
+tot AS (SELECT CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS tt,
+               CAST(count(*) AS BIGINT) AS tr
+        FROM grams),
+lrq AS (
+  SELECT bucket,
+         CAST(round((ln(ct + 1.0) - ln(CAST(tt + 256 AS DOUBLE))
+                     - ln(cr + 1.0) + ln(CAST(tr + 256 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS lrq
+  FROM buckets, tot),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(lrq) AS BIGINT) AS logweight_micro
+  FROM grams g JOIN lrq USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.logweight_micro, 0) AS BIGINT) AS logweight_micro
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+def _quantile_sketch_sql() -> str:
+    """Replays quantile_sketch: bit-length buckets via length(bin(v))
+    (identical minimal-width binary strings on both engines), bucket
+    upper-bound estimates, selection-by-histogram exact order
+    statistics, the 2-approximation guarantee bool."""
+    return """
+WITH vals AS (SELECT CAST(coalesce(n_chars, 0) AS BIGINT) AS v
+              FROM documents),
+bucketed AS (
+  SELECT CAST(CASE WHEN v < 1 THEN 0
+              ELSE length(bin(v)) END AS INTEGER) AS bucket
+  FROM vals),
+sketch AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM bucketed GROUP BY 1),
+cum AS (SELECT bucket,
+               CAST(sum(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM sketch),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+probes AS (
+  SELECT p, CAST(greatest(1, (p * n + 99) // 100) AS BIGINT) AS rank
+  FROM (SELECT unnest([50, 90, 99]) AS p), nd),
+est AS (
+  SELECT p, rank,
+         CAST((CAST(1 AS BIGINT) << min(bucket)) - 1 AS BIGINT) AS est
+  FROM probes JOIN cum ON cum >= rank
+  GROUP BY p, rank),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+cumv AS (SELECT v,
+                CAST(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumc
+         FROM hist),
+tru AS (
+  SELECT p, CAST(min(v) AS BIGINT) AS true_val
+  FROM probes JOIN cumv ON cumc >= rank
+  GROUP BY p)
+SELECT e.p, e.rank, e.est, t.true_val,
+       e.est >= t.true_val
+       AND e.est <= greatest(0, 2 * t.true_val - 1) AS within_2x
+FROM est e JOIN tru t USING (p)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     h_url = _H.format(x="url")
     sql = {}
@@ -2329,6 +2486,9 @@ FROM (VALUES
 
     sql["perceptron_train"] = _perceptron_sql()
     sql["countmin_freq"] = _countmin_sql()
+    sql["bm25_search"] = _bm25_sql()
+    sql["dsir_weights"] = _dsir_sql()
+    sql["quantile_sketch"] = _quantile_sketch_sql()
 
     sql["clean_fragments"] = """
 SELECT 'https://frag.example.com/' || CAST(doc_id AS VARCHAR) AS url,

@@ -803,3 +803,151 @@ def test_cms_overestimates_and_bounds(spark):
     assert got["nope"][0] == 0
     for w, (t, e, ok) in got.items():
         assert ok and e >= t
+
+
+# ------------------------------------------------------------------ bm25
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from article_extractor_spark.operators.search import bm25_topk
+
+    docs = [(1, "the data of the analysis"), (2, "data data data"),
+            (3, "with the analysis"), (4, "nothing relevant here"),
+            (5, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["the", "data", "with", "analysis"]
+
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl = float(total) / float(n)
+    dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    exp = {}
+    for i, v in toks.items():
+        s, m = 0, 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (float(n) - dfreq[q] + 0.5)
+                           / (dfreq[q] + 0.5))
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * len(v)) / avgdl))
+            # Spark round is half-up; Python round is half-even — use
+            # floor(x+0.5) which matches half-up for positives
+            s += math.floor(idf * tfn * 1e6 + 0.5)
+            m = m
+        if m:
+            exp[i] = (m, s)
+    got = {r.doc_id: (r.matched_terms, r.score_micro)
+           for r in bm25_topk(df, terms, k=10).collect()}
+    assert got == exp
+
+
+def test_bm25_topk_truncates_and_orders(spark):
+    from article_extractor_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "target " * (i + 1)) for i in range(20)],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["target"], k=5).collect()
+    assert len(rows) == 5
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------------------------ dsir
+
+def test_dsir_prefers_target_distribution(spark):
+    from article_extractor_spark.operators.dsir import dsir_weights
+
+    # target (en) docs share bigrams; the out-of-distribution doc does not
+    rows = [(1, "alpha beta alpha beta alpha beta", "en"),
+            (2, "alpha beta alpha beta", "en"),
+            (3, "gamma delta gamma delta gamma delta", "de"),
+            (4, "alpha beta alpha beta", "de"),  # raw doc, target-like text
+            (5, "x", "en")]                      # < 2 tokens -> (0, 0)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.n_grams, r.logweight_micro)
+           for r in dsir_weights(df).collect()}
+    assert got[5] == (0, 0)
+    # at toy scale the +256 smoothing mass pushes every log-ratio
+    # negative; the signal is RELATIVE: per-gram weight of target-like
+    # grams must beat out-of-distribution grams
+    assert got[1][1] / got[1][0] > got[3][1] / got[3][0]
+    assert got[4][1] / got[4][0] > got[3][1] / got[3][0]
+    # identical text => identical weight regardless of the doc's own lang
+    assert got[4] == got[2]
+
+
+def test_dsir_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from article_extractor_spark.operators.dsir import dsir_weights
+
+    rows = [(1, "a b c a b", "en"), (2, "c a b", "de"), (3, "b b b b", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"dsir:{w1} {w2}".encode()).hexdigest()[:15]
+        return int(h, 16) % 256
+
+    grams = []
+    for i, t, lang in rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            grams.append((i, lang == "en", bucket(a, b)))
+    ct, cr = {}, {}
+    for _, is_t, b in grams:
+        cr[b] = cr.get(b, 0) + 1
+        if is_t:
+            ct[b] = ct.get(b, 0) + 1
+    tt = sum(ct.values())
+    tr = sum(cr.values())
+    lrq = {b: math.floor((math.log(ct.get(b, 0) + 1.0)
+                          - math.log(float(tt + 256))
+                          - math.log(cr[b] + 1.0)
+                          + math.log(float(tr + 256))) * 1e6
+                         + 0.5) for b in cr}
+    exp = {}
+    for i, _, _ in rows:
+        mine = [lrq[b] for d, _, b in grams if d == i]
+        exp[i] = (len(mine), sum(mine))
+    got = {r.doc_id: (r.n_grams, r.logweight_micro)
+           for r in dsir_weights(df).collect()}
+    assert got == exp
+
+
+# ------------------------------------------------------------- quantiles
+
+def test_quantile_sketch_guarantee_random(spark):
+    import random
+
+    from article_extractor_spark.operators.quantiles import quantile_sketch
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 10 ** rng.randint(0, 6)) for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "n_chars long")
+    sv = sorted(vals)
+    n = len(vals)
+    for r in quantile_sketch(df, percentiles=(10, 50, 90, 99)).collect():
+        rank = max(1, -(-r.p * n // 100))
+        assert r.rank == rank
+        true = sv[rank - 1]
+        assert r.true_val == true
+        assert r.est >= true
+        if true >= 1:
+            assert r.est <= 2 * true - 1
+        assert r.within_2x
+
+
+def test_quantile_sketch_nonpositive_bucket(spark):
+    from article_extractor_spark.operators.quantiles import quantile_sketch
+
+    df = spark.createDataFrame([(0,), (0,), (0,), (5,)], "n_chars long")
+    got = {r.p: (r.est, r.true_val, r.within_2x)
+           for r in quantile_sketch(df, percentiles=(50, 99)).collect()}
+    assert got[50] == (0, 0, True)   # rank 2 -> bucket 0, exact
+    assert got[99] == (7, 5, True)   # rank 4 -> bucket 3 upper bound
