@@ -951,3 +951,27 @@ def test_quantile_sketch_nonpositive_bucket(spark):
            for r in quantile_sketch(df, percentiles=(50, 99)).collect()}
     assert got[50] == (0, 0, True)   # rank 2 -> bucket 0, exact
     assert got[99] == (7, 5, True)   # rank 4 -> bucket 3 upper bound
+
+
+def test_cms_guarantee_random_corpora(spark):
+    """est >= true must hold for every probe on arbitrary corpora —
+    the CMS structural guarantee (collisions only inflate)."""
+    import random
+
+    from article_extractor_spark.operators.cms import cms_point_query
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(50)]
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 40))))
+                for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        probes = rng.sample(vocab, 8) + ["absent_zz"]
+        truth = {}
+        for _, t in docs:
+            for w in t.split():
+                truth[w] = truth.get(w, 0) + 1
+        for r in cms_point_query(df, probes).collect():
+            assert r.true_cnt == truth.get(r.word, 0)
+            assert r.est_cnt >= r.true_cnt and r.overestimate_ok
