@@ -34,18 +34,23 @@ def _bucket_expr(row: int, token_expr: str) -> str:
 
 def cms_build(df: DataFrame, text_col: str = "text",
               d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
-    """Build the sketch: (row, bucket, cnt) — at most d*width rows."""
+    """Build the sketch: (row, bucket, cnt) — at most d*width rows.
+
+    ONE corpus scan: each token expands to its d (row, bucket) pairs
+    via an inline-array explode (a union of d projections would re-scan
+    the corpus d times — the difference between 1x and 4x input I/O at
+    100 TB)."""
     toks = (df.select(F.explode(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
         .alias("token"))
         .where(F.col("token") != ""))
-    rows = None
-    for r in range(d):
-        part = toks.select(
-            F.lit(r).alias("row"),
-            F.expr(_bucket_expr(r, "token")).alias("bucket"))
-        rows = part if rows is None else rows.unionByName(part)
-    return (rows.groupBy("row", "bucket")
+    pairs = ", ".join(
+        f"struct({r} AS row, {_bucket_expr(r, 'token')} AS bucket)"
+        for r in range(d))
+    return (toks.select(F.explode(F.expr(f"array({pairs})")).alias("rb"))
+            .select(F.col("rb.row").alias("row"),
+                    F.col("rb.bucket").alias("bucket"))
+            .groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
 
 
