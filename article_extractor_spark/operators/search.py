@@ -35,40 +35,56 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, matched_terms, score_micro): the top-``k`` documents for
     ``query_terms`` by BM25, score in exact 1e-6 micro-units (bigint),
-    ties broken by lowest doc_id.  Only docs matching >= 1 term rank."""
+    ties broken by lowest doc_id.  Only docs matching >= 1 term rank.
+
+    ONE corpus-scan plan: because the query terms are a small literal
+    list, per-doc tf for every term rides the same doc-keyed groupBy
+    that computes dl (conditional sums, map-side combine) — no postings
+    explode, no tf/df/dl joins.  The df counts and corpus totals are
+    scalar aggregates of that compact per-doc table; idf becomes a
+    constant-folded literal expression, and the global top-k is
+    TakeOrderedAndProject."""
     base = df.select(F.col(id_col),
                      F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
     toks = base.select(
         id_col,
         F.explode(F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')"))
         .alias("tok"))
-    # corpus scalars: every doc counts toward avgdl (empty docs -> dl 0)
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = int(base.count() or 1)
-    total = dl.agg(F.sum("dl").cast("bigint")).collect()[0][0]
-    total = int(total or 0)
-
     terms = [t.lower() for t in query_terms]
-    hits = toks.where(F.col("tok").isin(terms))
-    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).cast("bigint")
+          .alias(f"tf_{i}") for i, t in enumerate(terms)])
+    # corpus scalars: every doc counts toward N (empty docs have dl 0
+    # and no per_doc row); df per term from the compact per-doc table
+    n_docs = int(base.count() or 1)
+    stats = per_doc.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+          .cast("bigint") for i in range(len(terms))]).collect()[0]
+    total = int(stats[0] or 0)
+    dfs = [int(stats[1 + i] or 0) for i in range(len(terms))]
 
     # identical double expression tree on both engines (see oracle):
     # avgdl division first, then the tf normalization, then ln-idf
     avgdl = F.lit(float(total)) / F.lit(float(n_docs))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
-                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
-                                   + F.lit(B) * F.col("dl") / avgdl))
-    scored = (tf.join(F.broadcast(dfq), "tok")
-              .join(dl, id_col)
-              .select(id_col,
-                      F.round(idf * tfn * F.lit(1e6)).cast("bigint")
-                      .alias("q")))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("matched_terms"),
-        F.sum("q").cast("bigint").alias("score_micro"))
+    contribs = []
+    for i, dfc in enumerate(dfs):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.lit(dfc)
+                                  + F.lit(0.5)) / (F.lit(dfc) + F.lit(0.5)))
+        tfn = (tf * F.lit(K1 + 1.0)) / (
+            tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B) * F.col("dl") / avgdl))
+        contribs.append(
+            F.when(tf > 0, F.round(idf * tfn * F.lit(1e6)).cast("bigint"))
+            .otherwise(F.lit(0)))
+    matched = sum((F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+                   for i in range(len(terms))), F.lit(0))
+    score = sum(contribs[1:], contribs[0])
     return (per_doc
+            .select(id_col, matched.cast("int").alias("matched_terms"),
+                    score.cast("bigint").alias("score_micro"))
+            .where(F.col("matched_terms") > 0)
             .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
             .limit(k))
