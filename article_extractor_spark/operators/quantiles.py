@@ -36,20 +36,26 @@ def quantile_sketch(df: DataFrame, value_col: str = "n_chars",
     spark = df.sparkSession
     vals = df.select(F.coalesce(F.col(value_col), F.lit(0))
                      .cast("bigint").alias("v"))
+    # ONE corpus scan: the value-keyed histogram (needed below for the
+    # exact order statistic anyway) is the only pass over the data; the
+    # <= ~64-row sketch, N, and the cumulative walks all derive from it.
+    # In a sketch-only deployment this collapses to the bucket groupBy.
+    hist = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("c")).localCheckpoint()
     # bucket = bit length of v for v >= 1, else 0 — integer-exact on
     # both engines (Spark bin() == DuckDB bin(), both minimal-width)
-    bucketed = vals.select(
+    sketch = (hist.select(
         F.expr("CASE WHEN v < 1 THEN 0 ELSE length(bin(v)) END")
-        .cast("int").alias("bucket"))
-    sketch = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cast("int").alias("bucket"), "c")
+        .groupBy("bucket").agg(F.sum("c").cast("bigint").alias("cnt")))
     # the sketch is <= ~64 rows: the cumulative walk is driver-trivial,
     # kept declarative via a window over the single tiny partition
     cum = sketch.withColumn(
         "cum", F.sum("cnt").over(
             Window.partitionBy(F.lit(0)).orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, 0)))
-    n = int(vals.count() or 0)
+    n = int(hist.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint"))
+            .collect()[0][0] or 0)
     probes = spark.createDataFrame(
         [(int(p), max(1, -(-p * n // 100))) for p in percentiles],
         "p int, rank bigint")
@@ -61,11 +67,9 @@ def quantile_sketch(df: DataFrame, value_col: str = "n_chars",
                    F.expr("shiftleft(cast(1 as bigint), b) - 1")
                    .cast("bigint").alias("est")))
     # exact order statistic, selection-by-histogram: the value-keyed
-    # groupBy is the distributed part (distinct values of a bounded-
-    # domain column, NOT corpus rows); the cumulative walk runs over
-    # that compressed table only
-    hist = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint")
-                                 .alias("c"))
+    # groupBy above is the distributed part (distinct values of a
+    # bounded-domain column, NOT corpus rows); the cumulative walk runs
+    # over that compressed table only
     cumv = hist.withColumn(
         "cumc", F.sum("c").over(
             Window.partitionBy(F.lit(0)).orderBy("v")
