@@ -63,6 +63,7 @@ def cms_point_query(df: DataFrame, probes: list[str],
     inflate) — emitted as a checkable boolean."""
     spark = df.sparkSession
     sketch = cms_build(df, text_col=text_col, d=d, width=width)
+    probes = list(dict.fromkeys(probes))  # dup probes would dup rows
     probe_rows = [(w, r) for w in probes for r in range(d)]
     pdf = spark.createDataFrame(probe_rows, "word string, row int")
     pdf = pdf.withColumn("bucket", F.expr(_bucket_expr_col("row", "word",

@@ -50,7 +50,11 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         id_col,
         F.explode(F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')"))
         .alias("tok"))
-    terms = [t.lower() for t in query_terms]
+    # dup terms would double-count their contribution; empty queries
+    # have no defined ranking
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).cast("bigint")

@@ -975,3 +975,22 @@ def test_cms_guarantee_random_corpora(spark):
         for r in cms_point_query(df, probes).collect():
             assert r.true_cnt == truth.get(r.word, 0)
             assert r.est_cnt >= r.true_cnt and r.overestimate_ok
+
+
+def test_bm25_and_cms_input_hygiene(spark):
+    """Duplicate probes/terms must not double-count; empty query raises."""
+    import pytest as _pytest
+
+    from article_extractor_spark.operators.cms import cms_point_query
+    from article_extractor_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b c")],
+                               "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+    dup = bm25_topk(df, ["a", "A", "a"], k=5).collect()
+    single = bm25_topk(df, ["a"], k=5).collect()
+    assert [(r.doc_id, r.matched_terms, r.score_micro) for r in dup] == \
+           [(r.doc_id, r.matched_terms, r.score_micro) for r in single]
+    rows = cms_point_query(df, ["a", "a", "b"]).collect()
+    assert sorted(r.word for r in rows) == ["a", "b"]
