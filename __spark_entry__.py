@@ -1490,6 +1490,18 @@ def q_countmin_freq(spark, sf_dir):
     return cms_point_query(_docs(spark, sf_dir), probes)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Sketch-guided EXACT heavy hitters (operators/cms.py): the
+    collected 256-counter sketch becomes a literal lookup array, the
+    estimate filter is a zero-shuffle projection that can never drop a
+    true heavy hitter (est >= true), and only the surviving heavy tail
+    is exact-counted.  The oracle is the plain GROUP BY/HAVING truth —
+    any sketch bug that loses mass breaks the value match."""
+    from article_extractor_spark.operators.cms import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), threshold=150)
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-k retrieval (operators/search.py): Lucene-shaped idf +
     tf normalization, per-term contributions quantized to 1e-6
@@ -1783,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "dsir_weights": q_dsir_weights,
         "quantile_sketch": q_quantile_sketch,
+        "heavy_hitters": q_heavy_hitters,
         # --- window fill: oldest-green unchanged keys ---
         "metrics_agg": q_metrics_agg,
         "checkpoint_antijoin": q_checkpoint_antijoin,
@@ -2487,6 +2500,14 @@ FROM (VALUES
     sql["perceptron_train"] = _perceptron_sql()
     sql["countmin_freq"] = _countmin_sql()
     sql["bm25_search"] = _bm25_sql()
+    sql["heavy_hitters"] = """
+SELECT u.token, CAST(count(*) AS BIGINT) AS cnt
+FROM documents d,
+     LATERAL unnest(list_filter(regexp_split_to_array(
+         lower(coalesce(d.text, '')), '\\s+'), x -> x <> '')) AS u(token)
+GROUP BY u.token
+HAVING count(*) >= 150
+"""
     sql["dsir_weights"] = _dsir_sql()
     sql["quantile_sketch"] = _quantile_sketch_sql()
 

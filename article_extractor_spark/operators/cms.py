@@ -93,3 +93,41 @@ def cms_point_query(df: DataFrame, probes: list[str],
 def _bucket_expr_col(row_col: str, word_col: str, width: int) -> str:
     return (f"cast(conv(substr(md5(concat('cms', cast({row_col} as string), "
             f"':', {word_col})), 1, 15), 16, 10) as bigint) % {width}")
+
+
+def heavy_hitters(df: DataFrame, threshold: int,
+                  text_col: str = "text",
+                  d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
+    """Exact heavy hitters (token, cnt with cnt >= threshold) WITHOUT a
+    full-vocabulary shuffle — the canonical Count-Min deployment shape:
+
+    1. build the d*width-counter sketch (one scan, <=256 rows),
+    2. collect it driver-side (256 ints) and turn it into a LITERAL
+       lookup array, so every token's estimate is a pure projection
+       (least of d element_at's — zero shuffle, zero join),
+    3. exact-count ONLY the tokens whose estimate clears the threshold.
+
+    Because est >= true for every token (collisions only inflate), step
+    2 can never drop a true heavy hitter; step 3's HAVING removes the
+    false positives.  The output is therefore EXACTLY the true heavy-
+    hitter set — the oracle is a plain GROUP BY/HAVING, and any sketch
+    bug that loses mass breaks the value match.  At 100 TB the final
+    groupBy shuffles only the heavy tail (stopword-scale vocabulary),
+    not the corpus vocabulary."""
+    sketch = cms_build(df, text_col=text_col, d=d, width=width)
+    flat = [0] * (d * width)
+    for r in sketch.collect():
+        flat[int(r["row"]) * width + int(r["bucket"])] = int(r["cnt"])
+    arr = ", ".join(str(v) for v in flat)
+    est = "least(" + ", ".join(
+        f"element_at(array({arr}), cast({r * width} + "
+        f"({_bucket_expr(r, 'token')}) + 1 as int))"
+        for r in range(d)) + ")"
+    toks = (df.select(F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+        .alias("token"))
+        .where(F.col("token") != ""))
+    survivors = toks.where(F.expr(est) >= F.lit(int(threshold)))
+    return (survivors.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .where(F.col("cnt") >= F.lit(int(threshold))))

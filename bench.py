@@ -176,7 +176,7 @@ def main() -> None:
         "e2e_curation", "pdf_foreign", "semantic_dedup", "bigram_logprob",
         "jpeg_progressive", "train_split", "to_markdown", "bpe_train",
         "perceptron_train", "countmin_freq", "bm25_search",
-        "dsir_weights", "quantile_sketch")
+        "dsir_weights", "quantile_sketch", "heavy_hitters")
     # historically noise-prone lines (regressed in the official r4 JSON
     # with no code change — VERDICT r4 "What's wrong #2"): more repeats
     # so the official per-round JSON itself carries a defensible min

@@ -994,3 +994,25 @@ def test_bm25_and_cms_input_hygiene(spark):
            [(r.doc_id, r.matched_terms, r.score_micro) for r in single]
     rows = cms_point_query(df, ["a", "a", "b"]).collect()
     assert sorted(r.word for r in rows) == ["a", "b"]
+
+
+def test_heavy_hitters_exact_and_filtering(spark):
+    """Output must equal the exact GROUP BY/HAVING truth (the CMS
+    no-false-negative property) on random corpora and thresholds."""
+    import random
+
+    from article_extractor_spark.operators.cms import heavy_hitters
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    weights = [rng.randint(1, 20) for _ in vocab]
+    docs = [(i, " ".join(rng.choices(vocab, weights=weights, k=50)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    truth = {}
+    for _, t in docs:
+        for w in t.split():
+            truth[w] = truth.get(w, 0) + 1
+    for thr in (5, 60, 10_000):
+        got = {r.token: r.cnt for r in heavy_hitters(df, thr).collect()}
+        assert got == {w: c for w, c in truth.items() if c >= thr}, thr
