@@ -2266,10 +2266,13 @@ WITH docs AS (SELECT coalesce(text, '') AS text, lang,
 f AS (
   SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
          CAST(1 AS BIGINT) AS x0,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         CAST(len(list_filter(list_filter(
+                  regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t <> ''),
                               t -> list_contains([{arr}], t))) AS BIGINT)
            AS x1,
-         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT)
            AS x2,
          CAST(n_chars AS BIGINT) AS x3
   FROM docs),

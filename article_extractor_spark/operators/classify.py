@@ -31,7 +31,10 @@ from article_extractor_spark.operators.textstats import LANG_WORDS
 def _features(df: DataFrame, text_col: str = "text",
               lang_col: str = "lang") -> DataFrame:
     arr = ", ".join(f"'{w}'" for w in LANG_WORDS["en"])
-    toks = f"split(lower(coalesce({text_col}, '')), '\\\\s+')"
+    # empty-string tokens filtered out, same token definition as
+    # classifier_score / bm25 / cms — '' from split('') is not a token
+    toks = (f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+            "t -> t <> '')")
     return df.select(
         F.expr(f"CASE WHEN {lang_col} = 'en' THEN 1 ELSE -1 END")
         .cast("bigint").alias("y"),
@@ -66,6 +69,13 @@ def perceptron_train(df: DataFrame, n_iter: int = 3,
             F.lit(0)).cast("bigint"))
         r = feats.agg(*aggs).first()
         w = [w[i] + r[i] for i in range(4)]
+        # exactness envelope: margins multiply w by features up to
+        # ~n_chars (1e6-ish); |w| beyond 2^40 could overflow the int64
+        # margin silently on the next pass, so fail loud instead
+        if any(abs(x) >= 1 << 40 for x in w):
+            raise OverflowError(
+                "perceptron_train: weight magnitude exceeds the exact-"
+                "int64 margin envelope (|w| >= 2^40); rescale features")
         out.append((t, int(r[4]), *[int(x) for x in w]))
     feats.unpersist()
     return spark.createDataFrame(

@@ -25,11 +25,27 @@ D_ROWS = 4
 WIDTH = 64
 
 
-def _bucket_expr(row: int, token_expr: str) -> str:
-    """hash60('cms<row>:' || token) % WIDTH — same md5 idiom as the
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """The one tokenize pipeline every pass in this module shares —
+    sketch build, true counts, and heavy-hitter recount MUST agree on
+    what a token is or the est>=true / exact-set invariants break."""
+    return (df.select(F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+        .alias("token"))
+        .where(F.col("token") != ""))
+
+
+def _bucket_expr(row: int, token_expr: str, width: int = WIDTH) -> str:
+    """hash60('cms<row>:' || token) % width — same md5 idiom as the
     engine's other deterministic hashes."""
     return (f"cast(conv(substr(md5(concat('cms{row}', ':', {token_expr})), "
-            f"1, 15), 16, 10) as bigint) % {WIDTH}")
+            f"1, 15), 16, 10) as bigint) % {width}")
+
+
+def _bucket_expr_col(row_col: str, word_col: str, width: int) -> str:
+    """Column-row variant of :func:`_bucket_expr` (identical hash)."""
+    return (f"cast(conv(substr(md5(concat('cms', cast({row_col} as string), "
+            f"':', {word_col})), 1, 15), 16, 10) as bigint) % {width}")
 
 
 def cms_build(df: DataFrame, text_col: str = "text",
@@ -40,14 +56,11 @@ def cms_build(df: DataFrame, text_col: str = "text",
     via an inline-array explode (a union of d projections would re-scan
     the corpus d times — the difference between 1x and 4x input I/O at
     100 TB)."""
-    toks = (df.select(F.explode(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
-        .alias("token"))
-        .where(F.col("token") != ""))
     pairs = ", ".join(
-        f"struct({r} AS row, {_bucket_expr(r, 'token')} AS bucket)"
+        f"struct({r} AS row, {_bucket_expr(r, 'token', width)} AS bucket)"
         for r in range(d))
-    return (toks.select(F.explode(F.expr(f"array({pairs})")).alias("rb"))
+    return (_tokens(df, text_col)
+            .select(F.explode(F.expr(f"array({pairs})")).alias("rb"))
             .select(F.col("rb.row").alias("row"),
                     F.col("rb.bucket").alias("bucket"))
             .groupBy("row", "bucket")
@@ -60,10 +73,11 @@ def cms_point_query(df: DataFrame, probes: list[str],
     """Estimate frequencies for ``probes``: (word, true_cnt, est_cnt,
     overestimate_ok).  est = min over rows of the probed counter; the
     CMS guarantee est >= true holds for every probe (collisions only
-    inflate) — emitted as a checkable boolean."""
+    inflate) — emitted as a checkable boolean.  Probes are lowercased
+    to match the token stream, then deduplicated."""
     spark = df.sparkSession
     sketch = cms_build(df, text_col=text_col, d=d, width=width)
-    probes = list(dict.fromkeys(probes))  # dup probes would dup rows
+    probes = list(dict.fromkeys(p.lower() for p in probes))
     probe_rows = [(w, r) for w in probes for r in range(d)]
     pdf = spark.createDataFrame(probe_rows, "word string, row int")
     pdf = pdf.withColumn("bucket", F.expr(_bucket_expr_col("row", "word",
@@ -73,11 +87,8 @@ def cms_point_query(df: DataFrame, probes: list[str],
            .groupBy("word")
            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                 .cast("bigint").alias("est_cnt")))
-    toks = (df.select(F.explode(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
-        .alias("token"))
-        .where(F.col("token") != ""))
-    true = (toks.where(F.col("token").isin(probes))
+    true = (_tokens(df, text_col)
+            .where(F.col("token").isin(probes))
             .groupBy(F.col("token").alias("word"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt")))
     return (est.join(true, "word", "left")
@@ -90,21 +101,16 @@ def cms_point_query(df: DataFrame, probes: list[str],
                     .alias("overestimate_ok")))
 
 
-def _bucket_expr_col(row_col: str, word_col: str, width: int) -> str:
-    return (f"cast(conv(substr(md5(concat('cms', cast({row_col} as string), "
-            f"':', {word_col})), 1, 15), 16, 10) as bigint) % {width}")
-
-
 def heavy_hitters(df: DataFrame, threshold: int,
                   text_col: str = "text",
                   d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
     """Exact heavy hitters (token, cnt with cnt >= threshold) WITHOUT a
     full-vocabulary shuffle — the canonical Count-Min deployment shape:
 
-    1. build the d*width-counter sketch (one scan, <=256 rows),
-    2. collect it driver-side (256 ints) and turn it into a LITERAL
-       lookup array, so every token's estimate is a pure projection
-       (least of d element_at's — zero shuffle, zero join),
+    1. build the d*width-counter sketch (one scan, <= d*width rows),
+    2. collect it driver-side and turn it into a LITERAL lookup array,
+       so every token's estimate is a pure projection (least of d
+       element_at's — zero shuffle, zero join),
     3. exact-count ONLY the tokens whose estimate clears the threshold.
 
     Because est >= true for every token (collisions only inflate), step
@@ -121,13 +127,10 @@ def heavy_hitters(df: DataFrame, threshold: int,
     arr = ", ".join(str(v) for v in flat)
     est = "least(" + ", ".join(
         f"element_at(array({arr}), cast({r * width} + "
-        f"({_bucket_expr(r, 'token')}) + 1 as int))"
+        f"({_bucket_expr(r, 'token', width)}) + 1 as int))"
         for r in range(d)) + ")"
-    toks = (df.select(F.explode(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
-        .alias("token"))
-        .where(F.col("token") != ""))
-    survivors = toks.where(F.expr(est) >= F.lit(int(threshold)))
+    survivors = (_tokens(df, text_col)
+                 .where(F.expr(est) >= F.lit(int(threshold))))
     return (survivors.groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             .where(F.col("cnt") >= F.lit(int(threshold))))

@@ -56,10 +56,13 @@ def dsir_weights(df: DataFrame, target_lang: str = "en",
     grams = grams.select(id_col, "is_t",
                          F.expr(_BUCKET.format(b=n_buckets)).alias("bucket"))
 
+    # localCheckpoint: the <= n_buckets-row table feeds the totals
+    # collect AND the broadcast join below — without it the corpus-wide
+    # bigram explode + md5 pass runs three times instead of twice
     buckets = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint")
         .alias("ct"),
-        F.count(F.lit(1)).cast("bigint").alias("cr"))
+        F.count(F.lit(1)).cast("bigint").alias("cr")).localCheckpoint()
     tot = buckets.agg(F.sum("ct").cast("bigint"),
                       F.sum("cr").cast("bigint")).collect()[0]
     tt, tr = int(tot[0] or 0), int(tot[1] or 0)

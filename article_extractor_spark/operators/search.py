@@ -55,10 +55,13 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
+    # localCheckpoint: the compact one-row-per-doc table feeds both the
+    # scalar stats collect and the returned scoring plan — without it
+    # the corpus-wide tokenize groupBy runs twice (quantiles.py idiom)
     per_doc = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("dl"),
         *[F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).cast("bigint")
-          .alias(f"tf_{i}") for i, t in enumerate(terms)])
+          .alias(f"tf_{i}") for i, t in enumerate(terms)]).localCheckpoint()
     # corpus scalars: every doc counts toward N (empty docs have dl 0
     # and no per_doc row); df per term from the compact per-doc table
     n_docs = int(base.count() or 1)

@@ -751,11 +751,11 @@ def test_perceptron_train_matches_naive(spark):
     rows = []
     for _, t, lang, n in [(i, t, lang, len(t) if t else 0)
                           for i, t, lang in docs]:
+        # python str.split() drops empty strings — same token definition
+        # as the operator's filtered split
         toks = (t or "").lower().split()
-        # split('\\s+') on '' yields [''] -> size 1; filter drops non-matches
-        x2 = len((t or "").split()) if (t or "").strip() else 1
         rows.append((1 if lang == "en" else -1, 1,
-                     sum(1 for w in toks if w in en), x2, n))
+                     sum(1 for w in toks if w in en), len(toks), n))
     got = [tuple(r) for r in perceptron_train(df, n_iter=4).collect()]
     assert got == _naive_perceptron(rows, 4)
 
