@@ -1016,3 +1016,26 @@ def test_heavy_hitters_exact_and_filtering(spark):
     for thr in (5, 60, 10_000):
         got = {r.token: r.cnt for r in heavy_hitters(df, thr).collect()}
         assert got == {w: c for w, c in truth.items() if c >= thr}, thr
+
+
+def test_cms_nondefault_width_and_depth(spark):
+    """Width/depth parameters must thread through build, probes, and
+    heavy hitters consistently (regression: _bucket_expr once hardcoded
+    WIDTH, violating est>=true at width != 64)."""
+    from article_extractor_spark.operators.cms import (cms_build,
+                                                       cms_point_query,
+                                                       heavy_hitters)
+
+    df = spark.createDataFrame(
+        [(1, "x y x z x y"), (2, "y z q x")], "doc_id long, text string")
+    for d, width in ((2, 8), (3, 128)):
+        sketch = cms_build(df, d=d, width=width)
+        assert sketch.count() <= d * width
+        got = {r.word: (r.true_cnt, r.est_cnt, r.overestimate_ok)
+               for r in cms_point_query(df, ["x", "q", "nope"],
+                                        d=d, width=width).collect()}
+        assert got["x"][0] == 4 and got["q"][0] == 1 and got["nope"][0] == 0
+        assert all(ok and e >= t for t, e, ok in got.values())
+        hh = {r.token: r.cnt
+              for r in heavy_hitters(df, 3, d=d, width=width).collect()}
+        assert hh == {"x": 4, "y": 3}
