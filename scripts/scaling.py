@@ -35,7 +35,12 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mult = int(os.environ.get("AES_BENCH_MULT", "16"))
     rounds = int(os.environ.get("AES_SCALING_ROUNDS", "2"))
-    n, four_n = 8, 32
+    # AES_SCALING_N overrides the lower level (4N follows): the default
+    # 8/32 pair spans the socket's memory-bus saturation knee, while
+    # 2/8 measures the UNSATURATED regime every 8-core executor host of
+    # a real cluster runs in — report both (BENCH/BASELINE.md)
+    n = int(os.environ.get("AES_SCALING_N", "8"))
+    four_n = 4 * n
     # alternate levels and keep the best of each: the sandbox carries
     # bursty background load, and alternating avoids attributing one load
     # burst entirely to one level
@@ -58,15 +63,15 @@ def main():
     result = {
         "sf_dir": sf_dir,
         "docs": lo["extraction_docs"],
-        "throughput_n8": tp_lo,
-        "throughput_n32": tp_hi,
+        f"throughput_n{n}": tp_lo,
+        f"throughput_n{four_n}": tp_hi,
         "scaling_efficiency": round(eff, 3),
-        "throughput_n8_narrow": tp_lo_nar,
-        "throughput_n32_narrow": tp_hi_nar,
+        f"throughput_n{n}_narrow": tp_lo_nar,
+        f"throughput_n{four_n}_narrow": tp_hi_nar,
         "scaling_efficiency_narrow": round(eff_nar, 3) if eff_nar else None,
-        "suite_sec_n8": lo["value"],
-        "suite_sec_n32": hi["value"],
-        "queries_n32": hi["queries"],
+        f"suite_sec_n{n}": lo["value"],
+        f"suite_sec_n{four_n}": hi["value"],
+        f"queries_n{four_n}": hi["queries"],
     }
     print(json.dumps(result))
     print()
