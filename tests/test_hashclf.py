@@ -204,3 +204,38 @@ def test_init_length_validated(spark):
 
     with pytest.raises(ValueError):
         perceptron_hashed(_df(spark), n_iter=1, dim=64, init=[0] * 8)
+
+
+def test_randomized_corpus_trace_matches_oracle(spark):
+    """300 docs of seed-fixed random tokens (embedded ASCII controls,
+    repeated words, zipf-ish lengths, random labels) — the training
+    trace must still match the pure-Python oracle bit-for-bit at a
+    non-default dim.  Catches tokenizer/hash drift the hand-built
+    corpus might miss."""
+    import random as _random
+
+    from article_extractor_spark.operators.hashclf import perceptron_hashed
+
+    rng = _random.Random(0xC0FFEE)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,;!?'\"-_/()"
+    ws = [" ", "  ", "\t", "\n", "\r\n", "\x0b", "\f", " \t "]
+    vocab = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(1, 12)))
+             for _ in range(120)]
+    docs = []
+    for i in range(300):
+        n = rng.randint(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        text = "".join(t + rng.choice(ws) for t in toks) or ""
+        lang = rng.choice(["en", "en", "de", "fr", "xx"])
+        docs.append((f"r{i:04d}", text if rng.random() > 0.02 else None,
+                     lang))
+    df = spark.createDataFrame(docs, "doc_id string, text string, lang string")
+    dim = 16
+    got = perceptron_hashed(df, n_iter=3, dim=dim).collect()
+    want = _train([(t, g) for _, t, g in docs], 3, dim)
+    for it, n_mis, w in want:
+        rows = {r["bucket"]: (r["n_mis"], r["w"])
+                for r in got if r["iter"] == it}
+        assert {nm for nm, _ in rows.values()} == {n_mis}, it
+        assert [rows[b][1] for b in range(dim)] == w, it
