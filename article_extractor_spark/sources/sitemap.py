@@ -162,6 +162,22 @@ def _host_of(c: Column) -> Column:
     return F.lower(F.regexp_extract(c, _HOST_RE, 1))
 
 
+def sitemap_urls_from_robots(robots: DataFrame, host_col: str = "host",
+                             content_col: str = "content") -> DataFrame:
+    """Discovery glue: the ``Sitemap:`` lines of robots.txt bodies
+    (REP extension, case-insensitive, absolute URLs) -> (host,
+    sitemap_url) rows.  ``operators/weburl.py::parse_robots_txt``
+    handles the allow/disallow groups; this surfaces the sitemap
+    pointers the same bodies carry.  Zero-shuffle JVM projection."""
+    return (robots.select(
+                F.col(host_col).alias("host"),
+                F.explode(F.regexp_extract_all(
+                    F.coalesce(F.col(content_col), F.lit("")),
+                    F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+                    F.lit(1))).alias("sitemap_url"))
+            .where(F.col("sitemap_url") != ""))
+
+
 def sitemap_urls(df: DataFrame, url_col: str = "sitemap_url",
                  xml_col: str = "xml",
                  enforce_same_host: bool = True) -> DataFrame:
