@@ -76,11 +76,14 @@ def normalize_label(label: str | None) -> str | None:
     enc = _LABELS.get(key)
     if enc is not None:
         return enc
-    # unknown label: accept it only if Python knows the codec AND it
-    # is not a rotate/transform codec (never sniff those)
+    # unknown label: accept it only if it is a sane codec token Python
+    # knows AND not a rotate/transform codec (never sniff those);
+    # codecs.lookup raises ValueError (not LookupError) on null bytes
+    if not re.fullmatch(r"[a-z0-9._:\-]+", key):
+        return None
     try:
         info = codecs.lookup(key)
-    except LookupError:
+    except (LookupError, ValueError):
         return None
     return info.name if info.name not in ("rot-13", "base64", "hex",
                                           "zlib", "bz2", "uu") else None

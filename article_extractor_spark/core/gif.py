@@ -95,6 +95,13 @@ def lzw_compress(indices: bytes, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         w.write(table[prefix], width)
+        # the decoder creates one more table entry while processing
+        # this final code; if that entry lands exactly on 2^width the
+        # decoder widens before reading EOI — mirror it, or the EOI is
+        # written one bit narrower than it is read (hypothesis-found)
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
     w.write(eoi, width)
     return w.flush()
 
