@@ -349,6 +349,97 @@ def exact_dup_spans(df: DataFrame, L: int, text_col: str = "text",
                .drop("_isl"))
 
 
+def remove_exact_dup_spans(df: DataFrame, L: int,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Lee-et-al substring REMOVAL on the exact spans: for every
+    length-L equality class, the first occurrence (lowest (doc-rank,
+    offset)) survives; every other occurrence's window is deleted from
+    its document, overlapping deletions merged.  (A survivor's chars
+    can still fall to ANOTHER class's deletion overlapping them — the
+    per-class guarantee is that at least its surviving position is not
+    deleted on its own account.)  Returns (doc_id, cleaned_text,
+    n_removed_chars) for EVERY input document (clean docs pass
+    through).
+
+    The winnowed counterpart is ``dedup.remove_dup_spans``; this is
+    the collision-free version over ``duplicated_positions``.  Shapes:
+    one min-per-class aggregation, one per-doc Window for interval
+    merge, one Arrow batch for the final gap stitch (string surgery is
+    not expressible as a fixed Catalyst expression over variable-count
+    ranges)."""
+    from pyspark.sql import Window
+
+    if L < 1:
+        raise ValueError("L must be >= 1")
+    levels, off_cap, _ = suffix_levels(
+        df, text_col, id_col, target_len=L, prune=True)
+    dups = _dups_at_length(levels, L, off_cap)
+    # survivor per class: lowest (did, off) — did is the dense doc
+    # rank, so this is deterministic for any id type
+    first = dups.groupBy("grp").agg(
+        F.min(F.struct("did", "off")).alias("_keep"))
+    losers = (dups.join(first, "grp")
+                  .where((F.col("did") != F.col("_keep.did"))
+                         | (F.col("off") != F.col("_keep.off")))
+                  .select("did", "off"))
+    # merge per-doc intervals (overlap-or-touch), then stitch gaps
+    w = Window.partitionBy("did").orderBy("off")
+    prev = F.lag("off").over(w)
+    island = F.sum(
+        F.when(prev.isNull() | (F.col("off") > prev + F.lit(L)),
+               F.lit(1)).otherwise(F.lit(0))).over(w)
+    ranges = (losers.withColumn("_isl", island)
+                    .groupBy("did", "_isl")
+                    .agg(F.min("off").alias("s"),
+                         (F.max("off") + F.lit(L)).alias("e"))
+                    .groupBy("did")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("s", "e"))).alias("_ranges")))
+    dids = _did_map(df, id_col)
+    docs = (df.select(F.col(id_col).alias("_orig"),
+                      F.coalesce(F.col(text_col), F.lit(""))
+                       .alias("_t"))
+              .join(dids, "_orig")
+              .join(ranges, "did", "left"))
+
+    import pandas as pd
+
+    def stitch(batches):
+        for pdf in batches:
+            ids, outs, removed = [], [], []
+            for orig, t, rs in zip(pdf["_orig"], pdf["_t"],
+                                   pdf["_ranges"]):
+                if rs is None or len(rs) == 0:
+                    ids.append(orig)
+                    outs.append(t)
+                    removed.append(0)
+                    continue
+                kept = []
+                pos = 0
+                cut = 0
+                for r in rs:
+                    s, e = int(r["s"]), int(r["e"])
+                    kept.append(t[pos:s])
+                    cut += min(e, len(t)) - s
+                    pos = e
+                kept.append(t[pos:])
+                ids.append(orig)
+                outs.append("".join(kept))
+                removed.append(cut)
+            yield pd.DataFrame({
+                "_orig": ids,
+                "cleaned_text": pd.Series(outs, dtype="object"),
+                "n_removed_chars": pd.Series(removed, dtype="int64")})
+
+    id_type = dict(df.dtypes)[id_col]
+    return (docs.select("_orig", "_t", "_ranges")
+                .mapInPandas(stitch,
+                             f"_orig {id_type}, cleaned_text string, "
+                             f"n_removed_chars bigint")
+                .withColumnRenamed("_orig", id_col))
+
+
 def longest_repeat(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> dict:
     """Exact length of the longest substring occurring >= 2 times in

@@ -264,3 +264,40 @@ def test_agrees_with_winnowed_span_superset(spark):
                 duplicated_positions(df, k).collect())
     missing = [p for p in winnowed if p not in exact]
     assert not missing, missing
+
+
+def test_remove_exact_dup_spans(spark):
+    from article_extractor_spark.operators.suffixarray import (
+        duplicated_positions, remove_exact_dup_spans)
+
+    L = 6
+    rows = {r["doc_id"]: r for r in remove_exact_dup_spans(
+        _df(spark, CORPUS), L).collect()}
+    assert set(rows) == {d for d, _ in CORPUS}
+
+    # independent oracle: per-class min (doc-rank, off) survives,
+    # other windows union-removed per doc
+    dups = duplicated_positions(_df(spark, CORPUS), L).collect()
+    rank = {d: i for i, d in enumerate(sorted({x for x, _ in CORPUS}))}
+    from collections import defaultdict
+    bygrp = defaultdict(list)
+    for r in dups:
+        bygrp[r["grp"]].append((rank[r["doc_id"]], r["off"],
+                                r["doc_id"]))
+    losers = defaultdict(set)
+    for grp, occ in bygrp.items():
+        occ.sort()
+        for _, off, did in occ[1:]:
+            losers[did].update(range(off, off + L))
+    texts = dict(CORPUS)
+    for did, text in CORPUS:
+        cut = sorted(losers.get(did, set()))
+        exp = "".join(ch for i, ch in enumerate(text)
+                      if i not in losers.get(did, set()))
+        got = rows[did]
+        assert got["cleaned_text"] == exp, did
+        assert got["n_removed_chars"] == len(
+            [i for i in cut if i < len(text)])
+    # doc 10 vs 60 are identical: exactly one of them keeps its text
+    kept = [rows[d]["cleaned_text"] == texts[d] for d in (10, 60)]
+    assert sorted(kept) == [False, True]
