@@ -106,6 +106,11 @@ def _global_dense_rank(keys: DataFrame, cols: list,
     counts rows per partition (num_partitions rows to the driver); pass
     2 adds offset[pid] + local row index inside mapInPandas, carrying a
     running counter across that partition's Arrow batches.
+
+    Returns (ranked_df, n_keys) — the total falls out of the pass-1
+    counts for free, saving the callers one count() job per doubling
+    round (the fixture-scale cost is per-round job latency, measured
+    in BENCH/BASELINE.md).
     """
     spark = keys.sparkSession
     placed = (keys.repartitionByRange(_num_parts(keys), *cols)
@@ -139,13 +144,13 @@ def _global_dense_rank(keys: DataFrame, cols: list,
             seen += len(pdf)
             yield out
 
-    return placed.mapInPandas(assign, schema=schema)
+    return placed.mapInPandas(assign, schema=schema), acc
 
 
 def _did_map(df: DataFrame, id_col: str) -> DataFrame:
     """Dense long doc ids for arbitrary id values: (_orig, did)."""
     docs = df.select(F.col(id_col).alias("_orig")).distinct()
-    return _global_dense_rank(docs, ["_orig"], out_col="did")
+    return _global_dense_rank(docs, ["_orig"], out_col="did")[0]
 
 
 def corpus_positions(df: DataFrame, text_col: str = "text",
@@ -172,8 +177,8 @@ def corpus_positions(df: DataFrame, text_col: str = "text",
             "case when char_length(_t) = 0 then array() "
             "else transform(sequence(1, char_length(_t)), "
             "i -> substring(_t, i, 1)) end")).alias("off", "_ch"))
-    chars = _global_dense_rank(pos.select("_ch").distinct(), ["_ch"],
-                               out_col="rank")
+    chars, _ = _global_dense_rank(pos.select("_ch").distinct(),
+                                  ["_ch"], out_col="rank")
     return (pos.join(chars, "_ch")
                .select("did", "off", "dlen",
                        F.col("rank").cast("bigint").alias("rank")))
@@ -201,11 +206,10 @@ def _rerank(pairs: DataFrame) -> tuple:
     """Dense-rank the (r1, r2) pair keys; return (ranks_df, n_keys).
     ranks_df carries the equality-class size as ``_csize`` so callers
     can prune or test convergence without another pass."""
-    keyed = _global_dense_rank(
+    keyed, n_keys = _global_dense_rank(
         pairs.groupBy("r1", "r2").agg(
             F.count(F.lit(1)).alias("_csize")),
         ["r1", "r2"])
-    n_keys = keyed.count()
     out = (pairs.join(keyed, ["r1", "r2"])
                 .select("did", "off", "dlen",
                         F.col("new_rank").alias("rank"), "_csize")
@@ -243,6 +247,7 @@ def suffix_levels(df: DataFrame, text_col: str = "text",
     """
     pos = corpus_positions(df, text_col, id_col)
     off_cap, maxlen = _overflow_guard(pos)
+    n_pos = pos.count()  # constant in full mode — computed ONCE
     level0, n_keys = _rerank(pos.select(
         "did", "off", "dlen", F.col("rank").alias("r1"),
         F.lit(0).cast("bigint").alias("r2")))
@@ -256,7 +261,7 @@ def suffix_levels(df: DataFrame, text_col: str = "text",
             cur = cur.where(F.col("_csize") >= 2)
             if cur.limit(1).count() == 0:
                 break
-        elif n_keys == cur.count():
+        elif n_keys == n_pos:
             break  # every class a singleton: the order is total
         nxt, n_keys = _rerank(_pair_keys(cur, h, off_cap))
         if prune:
@@ -276,7 +281,7 @@ def suffix_array(df: DataFrame, text_col: str = "text",
     sorted() in tests."""
     levels, _, _ = suffix_levels(df, text_col, id_col)
     final = levels[-1]
-    sa = _global_dense_rank(
+    sa, _ = _global_dense_rank(
         final.select(F.col("rank").alias("r"), "did", "off"),
         ["r", "did", "off"], out_col="sa")
     orig = _did_map(df, id_col)
@@ -305,7 +310,7 @@ def _dups_at_length(levels: list, T: int, off_cap: int) -> DataFrame:
     h = T - (1 << a)  # 0 <= h <= 2^a
     pairs = _pair_keys(lvl, h, off_cap) \
         .where(F.col("off") + F.lit(T) <= F.col("dlen"))
-    keyed = _global_dense_rank(
+    keyed, _ = _global_dense_rank(
         pairs.groupBy("r1", "r2").agg(F.count(F.lit(1)).alias("_c")),
         ["r1", "r2"], out_col="grp")
     return (pairs.join(keyed.where(F.col("_c") >= 2), ["r1", "r2"])
