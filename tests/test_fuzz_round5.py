@@ -128,3 +128,53 @@ def test_xml_sources_never_raise_driverside(xml):
     for pat in (_URL_BLOCK, _SITEMAP_BLOCK, _ITEM_BLOCK, _ENTRY_BLOCK,
                 _ATOM_ALT_LINK):
         re.findall(pat, xml)  # must terminate quickly, never raise
+
+
+# ------------------------------------------------------------ unigram
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_viterbi_is_optimal_vs_enumeration(data):
+    """The integer-DP Viterbi segmentation scores >= every possible
+    segmentation (brute-enumerated for short words), and its pieces
+    concatenate back to the word."""
+    from article_extractor_spark.operators.unigram import _viterbi
+
+    alphabet = "ab"
+    pieces = data.draw(st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=3),
+        min_size=1, max_size=6, unique=True))
+    vocab = {p: data.draw(st.integers(-10**9, -1)) for p in pieces}
+    word = data.draw(st.text(alphabet=alphabet, min_size=1, max_size=6))
+    max_len = max(len(p) for p in vocab)
+    got = _viterbi(word, vocab, max_len)
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for i in range(1, len(w) + 1):
+            if w[:i] in vocab:
+                for rest in all_segs(w[i:]):
+                    yield [w[:i]] + rest
+
+    best = None
+    for seg in all_segs(word):
+        s = sum(vocab[p] for p in seg)
+        if best is None or s > best:
+            best = s
+    if best is None:
+        assert got is None
+    else:
+        assert got is not None and "".join(got) == word
+        assert sum(vocab[p] for p in got) == best
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.data())
+def test_gif_interlaced_roundtrip_any_size(w, h, data):
+    pal = [(0, 0, 0), (80, 90, 100), (200, 10, 30), (255, 255, 255)]
+    idx = bytes(data.draw(st.integers(0, 3)) for _ in range(w * h))
+    out = decode_gif(encode_gif(w, h, [idx], pal, interlace=True))
+    assert out["frames"][0] == b"".join(bytes(pal[i]) for i in idx)
