@@ -297,7 +297,7 @@ def decode_gif(data: bytes) -> dict:
     if width == 0 or height == 0:
         raise GifError("zero canvas dimension")
     flags = r.byte()
-    bg_index = r.byte()
+    r.byte()  # background index (we composite in RGB; unpainted=black)
     r.byte()  # aspect ratio
     global_pal = None
     if flags & 0x80:
@@ -305,24 +305,20 @@ def decode_gif(data: bytes) -> dict:
         raw = r.take(3 * n)
         global_pal = [tuple(raw[i:i + 3]) for i in range(0, 3 * n, 3)]
 
-    canvas = bytearray(width * height)  # palette indices
-    painted = bytearray(width * height)  # 0 = never painted
-    if global_pal:
-        canvas[:] = bytes([bg_index if bg_index < len(global_pal) else 0]
-                          ) * (width * height)
+    # the canvas is kept in RGB, resolved at PAINT time: palette
+    # indices are only meaningful under the palette of the frame that
+    # painted them, so an index canvas re-rendered through a later
+    # frame's LOCAL palette would recolor old pixels (caught by
+    # test_local_color_table_and_subrect_frames)
+    canvas = bytearray(3 * width * height)  # unpainted stays black
     frames: list = []
     delays: list = []
     gce_delay = 0
     gce_transparent: int | None = None
     gce_disposal = 0
 
-    def emit(pal: list) -> None:
-        rgb = bytearray()
-        for i, idx in enumerate(canvas):
-            if idx >= len(pal):
-                raise GifError("pixel index beyond color table")
-            rgb += bytes(pal[idx]) if painted[i] else b"\x00\x00\x00"
-        frames.append(bytes(rgb))
+    def emit() -> None:
+        frames.append(bytes(canvas))
         delays.append(gce_delay)
 
     while True:
@@ -364,14 +360,14 @@ def decode_gif(data: bytes) -> dict:
             for x, v in enumerate(row):
                 if gce_transparent is not None and v == gce_transparent:
                     continue
-                canvas[base + x] = v
-                painted[base + x] = 1
-        emit(pal)
+                if v >= len(pal):
+                    raise GifError("pixel index beyond color table")
+                canvas[3 * (base + x):3 * (base + x) + 3] = bytes(pal[v])
+        emit()
         if gce_disposal == 2:  # restore to background: clear the rect
             for y in range(fh):
                 base = (top + y) * width + left
-                canvas[base:base + fw] = bytes(fw)
-                painted[base:base + fw] = bytes(fw)
+                canvas[3 * base:3 * (base + fw)] = bytes(3 * fw)
         gce_delay, gce_transparent, gce_disposal = 0, None, 0
     if not frames:
         raise GifError("GIF contains no image data")

@@ -207,3 +207,54 @@ def test_pil_cross_check_if_available():
     im = PIL.open(io.BytesIO(gif)).convert("RGB")
     assert im.size == (w, h)
     assert im.tobytes() == _rgb_of(idx, PAL4)
+
+
+def test_local_color_table_and_subrect_frames():
+    """Hand-built container exercising decoder branches the encoder
+    never emits: a per-frame LOCAL color table overriding the global
+    one, and a second frame covering only a sub-rectangle of the
+    canvas (left/top offsets), composited over the first."""
+    import struct as _s
+
+    from article_extractor_spark.core.gif import lzw_compress
+
+    w, h = 6, 4
+    g = bytearray(b"GIF89a")
+    g += _s.pack("<HH", w, h)
+    g.append(0x80 | (1 << 4) | 1)  # global table: 4 entries
+    g += b"\x00\x00"
+    g += bytes((10, 10, 10)) + bytes((20, 20, 20)) \
+        + bytes((30, 30, 30)) + bytes((0, 0, 0))
+    # frame 1: full canvas, GLOBAL palette, all index 1
+    f1 = bytes([1]) * (w * h)
+    g += b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    g.append(2)
+    comp = lzw_compress(f1, 2)
+    g.append(len(comp)); g += comp; g.append(0)
+    # frame 2: 2x2 sub-rect at (3,1), LOCAL palette (red/green/blue/x)
+    f2 = bytes([0, 1, 2, 0])
+    g += b"\x2c" + _s.pack("<HHHH", 3, 1, 2, 2)
+    g.append(0x80 | 1)  # local table, 4 entries
+    g += bytes((255, 0, 0)) + bytes((0, 255, 0)) \
+        + bytes((0, 0, 255)) + bytes((9, 9, 9))
+    g.append(2)
+    comp = lzw_compress(f2, 2)
+    g.append(len(comp)); g += comp; g.append(0)
+    g += b"\x3b"
+
+    from article_extractor_spark.core.gif import decode_gif
+    out = decode_gif(bytes(g))
+    assert out["n_frames"] == 2
+    grey = bytes((20, 20, 20))
+    assert out["frames"][0] == grey * (w * h)
+    fr = out["frames"][1]
+
+    def px(x, y):
+        return fr[3 * (y * w + x):3 * (y * w + x) + 3]
+
+    assert px(3, 1) == bytes((255, 0, 0))
+    assert px(4, 1) == bytes((0, 255, 0))
+    assert px(3, 2) == bytes((0, 0, 255))
+    assert px(4, 2) == bytes((255, 0, 0))
+    # everything outside the sub-rect keeps frame 1's grey
+    assert px(0, 0) == grey and px(5, 3) == grey and px(2, 1) == grey
