@@ -137,3 +137,34 @@ def test_extract_from_bytes_legacy_encodings(spark):
     assert "’quote’" in out["http://a.test/1"]
     assert "café" in out["http://a.test/1"]
     assert "日本語の文章" in out["http://b.test/2"]
+
+
+def test_warc_to_extract_e2e(spark, tmp_path):
+    """The true raw-crawl chain: WARC response records (binary payloads,
+    mixed encodings) -> read_warc -> charset decode -> extraction."""
+    from article_extractor_spark.operators.extract_bytes import (
+        extract_articles_from_bytes)
+    from article_extractor_spark.sources.warc import build_warc, read_warc
+
+    def page(enc_label, body_text):
+        return ("<html><head><meta charset=\"%s\"><title>T</title></head>"
+                "<body><article><p>%s</p><p>%s</p></article></body></html>"
+                % (enc_label, body_text * 30, body_text * 30))
+
+    records = [
+        ("http://w.test/utf8", "2024-01-01T00:00:00Z",
+         page("utf-8", "plain utf-8 words here ").encode("utf-8")),
+        ("http://w.test/cp1252", "2024-01-01T00:00:01Z",
+         page("windows-1252", "smart ’quotes’ and café ").encode("cp1252")),
+    ]
+    seg = tmp_path / "seg.warc"
+    seg.write_bytes(build_warc(records))
+
+    pages = read_warc(spark, str(seg))
+    assert dict(pages.dtypes)["html"] == "binary"
+    out = {r["url"]: r["text"]
+           for r in extract_articles_from_bytes(
+               pages, body_col="html").collect()}
+    assert "plain utf-8 words here" in out["http://w.test/utf8"]
+    assert "’quotes’" in out["http://w.test/cp1252"]
+    assert "café" in out["http://w.test/cp1252"]
