@@ -1,0 +1,103 @@
+"""Video brightness-delta fingerprint over real Y4M: fold parity,
+brightness-order invariance, distributed near-dup vs brute force."""
+
+import itertools
+import random
+
+import pytest
+
+from article_extractor_spark.core.y4m import encode_y4m
+from article_extractor_spark.operators.videofp import (
+    video_fingerprint, video_near_dups, y4m_brightness_fingerprint)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-videofp-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def clip(levels, w=4, h=4):
+    """C444 clip with constant-luma frames at the given levels."""
+    frames = [(bytes([lv]) * (w * h), bytes(w * h), bytes(w * h))
+              for lv in levels]
+    return encode_y4m(w, h, frames)
+
+
+def ref_fp(levels, n_bits=32):
+    bits = 0
+    for f in range(min(n_bits, len(levels) - 1)):
+        if levels[f + 1] > levels[f]:
+            bits |= 1 << f
+    return bits
+
+
+def test_fingerprint_matches_fold():
+    rng = random.Random(5)
+    levels = [rng.randint(0, 255) for _ in range(20)]
+    w, h, nf, fp = y4m_brightness_fingerprint(clip(levels))
+    assert (w, h, nf) == (4, 4, 20)
+    assert fp == ref_fp(levels)
+
+
+def test_brightness_order_invariance():
+    levels = [10, 30, 20, 40, 5, 200]
+    halved = [lv // 2 for lv in levels]  # order preserved
+    assert y4m_brightness_fingerprint(clip(levels))[3] == \
+        y4m_brightness_fingerprint(clip(halved))[3]
+
+
+def test_chroma_edits_invisible():
+    levels = [10, 50, 20]
+    w, h = 4, 4
+    plain = [(bytes([lv]) * (w * h), bytes(w * h), bytes(w * h))
+             for lv in levels]
+    recolored = [(y, bytes([200]) * (w * h), bytes([90]) * (w * h))
+                 for (y, _cb, _cr) in plain]
+    assert y4m_brightness_fingerprint(encode_y4m(w, h, plain))[3] == \
+        y4m_brightness_fingerprint(encode_y4m(w, h, recolored))[3]
+
+
+def test_c420_subsampled_clip():
+    w, h = 6, 4
+    cw, ch = 3, 2
+    frames = [(bytes([lv]) * (w * h), bytes(cw * ch), bytes(cw * ch))
+              for lv in (5, 100, 50)]
+    data = encode_y4m(w, h, frames, colourspace="C420jpeg")
+    gw, gh, nf, fp = y4m_brightness_fingerprint(data)
+    assert (gw, gh, nf) == (6, 4, 3) and fp == ref_fp([5, 100, 50])
+
+
+def test_distributed_near_dups(spark):
+    rng = random.Random(9)
+    base = [rng.randint(0, 255) for _ in range(33)]
+    near = list(base)
+    near[10] = 255 - near[10]  # perturbs at most 2 delta bits
+    other = [rng.randint(0, 255) for _ in range(33)]
+    rows = [(1, clip(base)), (2, clip(near)), (3, clip(other)),
+            (4, b"not video")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    fps = video_fingerprint(df)
+    got = {r["media_id"]: r for r in fps.collect()}
+    assert got[4]["error"] is not None
+    assert got[1]["fingerprint"] == ref_fp(base)
+
+    valid = {m: got[m]["fingerprint"] for m in (1, 2, 3)}
+    d12 = bin(valid[1] ^ valid[2]).count("1")
+    assert d12 <= 2
+    budget = max(d12, 1)
+    want = {tuple(sorted((a, b)))
+            for a, b in itertools.combinations(valid, 2)
+            if bin(valid[a] ^ valid[b]).count("1") <= budget}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             video_near_dups(fps, max_hamming=budget).collect()}
+    assert (1, 2) in pairs and pairs == want
