@@ -45,19 +45,31 @@ def wav_energy_fingerprint(content: bytes, frame_len: int = 256,
     cross-multiplication compares per-sample energy, so unequal frame
     lengths are handled exactly.  Clips with fewer than n_bits+1 frames
     zero-pad the high bits (deterministic)."""
+    import numpy as np
+
     with wave.open(io.BytesIO(content), "rb") as r:
         if r.getsampwidth() != 2 or r.getnchannels() != 1:
             raise ValueError("need 16-bit mono PCM")
         n = r.getnframes()
-        samples = struct.unpack(f"<{n}h", r.readframes(n))
-    frames = [samples[i:i + frame_len] for i in range(0, n, frame_len)]
-    ssq = [sum(s * s for s in fr) for fr in frames]
-    ln = [len(fr) for fr in frames]
+        raw = r.readframes(n)
+    # Vectorized exact-integer fold: int64 never overflows here —
+    # max ssq = 32768^2 * frame_len <~ 5.5e11, and the cross product
+    # ssq * frame_len <~ 2.9e14, both far under 2^63.
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    nf = (n + frame_len - 1) // frame_len if n else 0
+    padded = np.zeros(nf * frame_len, dtype=np.int64)
+    padded[:n] = samples
+    ssq = (padded * padded).reshape(nf, frame_len).sum(axis=1)
+    ln = np.full(nf, frame_len, dtype=np.int64)
+    if n % frame_len:
+        ln[-1] = n % frame_len  # zero-pad doesn't change ssq; length must
+    k = min(n_bits, nf - 1)
     bits = 0
-    for f in range(min(n_bits, len(frames) - 1)):
-        if ssq[f + 1] * ln[f] > ssq[f] * ln[f + 1]:
-            bits |= 1 << f
-    return n, len(frames), bits
+    if k > 0:
+        rise = ssq[1:k + 1] * ln[:k] > ssq[:k] * ln[1:k + 1]
+        for f in np.nonzero(rise)[0]:
+            bits |= 1 << int(f)
+    return n, nf, bits
 
 
 def audio_fingerprint(media: DataFrame, id_col: str = "media_id",

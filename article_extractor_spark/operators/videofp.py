@@ -46,10 +46,14 @@ def y4m_brightness_fingerprint(content: bytes,
     """(width, height, n_frames, fingerprint) for Y4M bytes.  Bit f set
     iff sum(Y plane of frame f+1) > sum(Y plane of frame f) — frames in
     one stream share dimensions, so raw sums compare exactly."""
+    import numpy as np
+
     from article_extractor_spark.core.y4m import decode_y4m
 
     width, height, _fps, _cs, frames = decode_y4m(content)
-    sums = [sum(y) for (y, _cb, _cr) in frames]
+    # exact int64 luma sums (max 255 * 2^32 px << 2^63)
+    sums = [int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64))
+            for (y, _cb, _cr) in frames]
     bits = 0
     for f in range(min(n_bits, len(frames) - 1)):
         if sums[f + 1] > sums[f]:
