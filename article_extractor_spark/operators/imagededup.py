@@ -44,7 +44,11 @@ def phash_bands(hashes: DataFrame, hash_col: str = "phash",
     offset = 0
     for b in range(bands):
         width = base + (1 if b < extra else 0)
-        vals.append(F.shiftright(h, offset).bitwiseAND(F.lit((1 << width) - 1)))
+        if width >= 64:  # 2^64-1 overflows a signed long literal
+            vals.append(h)
+        else:
+            vals.append(F.shiftright(h, offset)
+                        .bitwiseAND(F.lit((1 << width) - 1)))
         offset += width
     return (hashes.select(F.col(id_col).alias("id"), h.alias("h"),
                           F.posexplode(F.array(*vals))

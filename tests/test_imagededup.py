@@ -89,6 +89,24 @@ def test_bucket_cap_bounds_skew(spark):
     assert got == {(100, 101)}
 
 
+def test_full_64bit_hashes(spark):
+    """64-bit fingerprints (negative longs = high bit set) band correctly,
+    including the width>=64 single-band case where a mask literal would
+    overflow a signed long."""
+    rows = [(1, -1), (2, -1), (3, 12345), (4, -2)]
+    for d in (0, 1):
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               phash_near_dups(_df(spark, rows), bits=64,
+                               max_hamming=d).collect()}
+        to64 = lambda h: h & ((1 << 64) - 1)
+        want = {}
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            dist = bin(to64(ha) ^ to64(hb)).count("1")
+            if dist <= d:
+                want[tuple(sorted((ia, ib)))] = dist
+        assert got == want
+
+
 def test_dup_clusters_min_label(spark):
     # chain 1-2-3 (transitive via pairs), pair 10-11, singleton 20
     rows = [(1, 0x0000), (2, 0x0001), (3, 0x0003),
