@@ -116,6 +116,17 @@ def test_dup_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}  # 20 not in any pair
 
 
+def test_plan_has_no_cartesian_join(spark):
+    """The LSH meets candidates on a (band, band_value) equi-join —
+    the physical plan must never degenerate to a cartesian/nested-loop
+    product (the all-pairs shape banding exists to avoid)."""
+    rows = [(i, i * 2654435761 % (1 << 16)) for i in range(100)]
+    pairs = phash_near_dups(_df(spark, rows), max_hamming=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Join" in plan  # it IS a join, on the band keys
+
+
 def test_end_to_end_from_decoded_pixels(spark):
     """phash computed from really-decoded GIF pixels feeds the LSH: an
     exact re-encode of the same frame is hamming-0 from the original."""
