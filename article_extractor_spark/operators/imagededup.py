@@ -88,6 +88,23 @@ def phash_near_dups(hashes: DataFrame, hash_col: str = "phash",
             .select("id_a", "id_b", "hamming"))
 
 
+def phash_survivors(hashes: DataFrame, hash_col: str = "phash",
+                    id_col: str = "media_id", bits: int = 16,
+                    max_hamming: int = 2) -> DataFrame:
+    """One row per KEPT id: the minimum-id representative of every
+    near-dup cluster plus every unclustered id — the media twin of
+    `dedup_keep_best`'s survivor selection (deterministic lowest-id
+    rule; a quality column can replace the min by reusing the
+    max(struct) pattern).  Anti-join shape: losers = clustered ids
+    that are not their cluster's label."""
+    clusters = phash_dup_clusters(hashes, hash_col, id_col, bits,
+                                  max_hamming)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col))
+    return hashes.select(id_col).distinct().join(
+        losers, id_col, "left_anti")
+
+
 def phash_dup_clusters(hashes: DataFrame, hash_col: str = "phash",
                        id_col: str = "media_id", bits: int = 16,
                        max_hamming: int = 2) -> DataFrame:

@@ -7,7 +7,7 @@ import random
 import pytest
 
 from article_extractor_spark.operators.imagededup import (
-    phash_bands, phash_dup_clusters, phash_near_dups)
+    phash_bands, phash_dup_clusters, phash_near_dups, phash_survivors)
 
 
 @pytest.fixture(scope="module")
@@ -114,6 +114,16 @@ def test_dup_clusters_min_label(spark):
     got = {r["id"]: r["cluster_id"] for r in
            phash_dup_clusters(_df(spark, rows), max_hamming=1).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}  # 20 not in any pair
+
+
+def test_survivors_keep_one_per_cluster(spark):
+    """Media-dedup composite: chain 1-2-3 keeps only 1, pair 10-11
+    keeps 10, singleton 20 always survives."""
+    rows = [(1, 0x0000), (2, 0x0001), (3, 0x0003),
+            (10, 0xFF00), (11, 0xFF01), (20, 0x5555)]
+    kept = {r["media_id"] for r in
+            phash_survivors(_df(spark, rows), max_hamming=1).collect()}
+    assert kept == {1, 10, 20}
 
 
 def test_plan_has_no_cartesian_join(spark):
