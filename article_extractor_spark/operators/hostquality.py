@@ -1,0 +1,88 @@
+"""Host-level quality filtering — the RefinedWeb/C4-style curation step
+where DOMAIN aggregates gate documents: a host whose pages are mostly
+junk drops entirely (boilerplate farms, link spam, machine-translated
+mills), even though a few individual pages might pass a per-doc filter.
+
+Composition of frozen pieces in a NEW file: per-doc features from
+`textstats.quality_score`, host extraction from `weburl.normalize_urls`.
+Aggregates are exact integers (micro-quantized sums, the repo-wide
+quantize-before-sum discipline) so thresholds are reproducible bit-for-
+bit in any engine.
+
+100 TB shape: one host-keyed shuffle with map-side combine for the
+aggregate (hosts << docs), then the verdict table — thousands of rows —
+broadcasts back onto the corpus as an equi-join; no second corpus
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def host_expr(url_col: str = "url"):
+    """The same host rule as `weburl.normalize_urls` (lowercased,
+    leading ``www.`` and trailing dot dropped, port stripped) as a bare
+    column expression, so callers can KEEP their other columns —
+    normalize_urls projects everything else away.  Row-parity with
+    normalize_urls' ``host`` is pinned by
+    tests/test_hostquality.py::test_host_expr_matches_normalize_urls."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1),
+                         r"^www\.", ""),
+        r"\.$", "")
+
+
+def host_quality(docs: DataFrame, url_col: str = "url",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-host: page count, exact micro-quantized quality sum, mean
+    quality (micro-units, integer division — deterministic), low-quality
+    page count (quality < 0.2)."""
+    from article_extractor_spark.operators.textstats import quality_score
+
+    hosts = docs.select(F.col(id_col), host_expr(url_col).alias("host"))
+    q = quality_score(docs.select(id_col, text_col), text_col=text_col,
+                      id_col=id_col)
+    jq = hosts.join(q, id_col)
+    micro_q = F.round(F.col("quality") * MICRO).cast("long")
+    return jq.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(micro_q).alias("quality_micro_sum"),
+        F.sum(F.when(micro_q < int(0.2 * MICRO), 1).otherwise(0))
+        .alias("n_low_quality"),
+    ).withColumn(
+        "mean_quality_micro",
+        (F.col("quality_micro_sum") / F.col("n_pages")).cast("long"))
+
+
+def filter_by_host_quality(docs: DataFrame,
+                           url_col: str = "url",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_mean_quality: float = 0.3,
+                           max_low_quality_frac: float = 0.5,
+                           min_pages: int = 1) -> DataFrame:
+    """Keep documents whose HOST passes both gates: mean quality >=
+    ``min_mean_quality`` and low-quality fraction <= ``max_low_quality_frac``
+    (hosts with fewer than ``min_pages`` pages are kept — not enough
+    evidence to damn a domain).  Fraction compare is integer
+    cross-multiplied (no float division)."""
+    hq = host_quality(docs, url_col, text_col, id_col)
+    bad = hq.filter(
+        (F.col("n_pages") >= min_pages)
+        & ((F.col("mean_quality_micro") < int(min_mean_quality * MICRO))
+           | (F.col("n_low_quality") * MICRO
+              > F.col("n_pages") * int(max_low_quality_frac * MICRO)))
+    ).select("host")
+
+    return (docs.withColumn("__host", host_expr(url_col))
+            .join(F.broadcast(bad),
+                  F.col("__host") == bad.host, "left_anti")
+            .drop("__host"))

@@ -1,0 +1,109 @@
+"""Host-level quality gating: exact aggregates vs a pure replication of
+the quality formula, and the domain-drop semantics."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-hostquality-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+GOOD = ("this is a reasonably long piece of the kind of text that a "
+        "working website publishes, with punctuation, and enough common "
+        "words that the stopword ratio lands in a healthy band. " * 3)
+JUNK = "buy cheap now " * 5
+
+
+def corpus():
+    rows = []
+    did = 0
+    for i in range(4):  # good.test: all good pages
+        rows.append((did, f"http://good.test/a{i}", GOOD)); did += 1
+    for i in range(4):  # junk.test: all junk
+        rows.append((did, f"http://junk.test/s{i}", JUNK)); did += 1
+    # mixed.test: one good page drowned by junk (majority rule drops host)
+    rows.append((did, "http://mixed.test/good", GOOD)); did += 1
+    for i in range(3):
+        rows.append((did, f"http://mixed.test/j{i}", JUNK)); did += 1
+    # lone.test: single junk page, below min_pages evidence bar
+    rows.append((did, "http://lone.test/only", JUNK)); did += 1
+    return rows
+
+
+def test_host_expr_matches_normalize_urls(spark):
+    """The inlined host expression must stay row-identical to the frozen
+    weburl.normalize_urls host rule (pin against divergence)."""
+    from article_extractor_spark.operators.hostquality import host_expr
+    from article_extractor_spark.operators.weburl import normalize_urls
+
+    urls = [
+        "http://WWW.Example.COM/path", "https://sub.www.site.org:443/x",
+        "http://host.test:8080/a?b=1", "https://dot.trailing./p",
+        "ftp://other.scheme.net/f", "not a url at all", "",
+        "http://www.www.double.test/", "https://UPPER.CASE.IO",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    mine = [r["h"] for r in
+            df.select(host_expr("url").alias("h")).collect()]
+    theirs = [r["host"] for r in normalize_urls(df).collect()]
+    assert mine == theirs
+
+
+def test_host_aggregates_match_per_doc_scores(spark):
+    from article_extractor_spark.operators.hostquality import (MICRO,
+                                                               host_quality)
+    from article_extractor_spark.operators.textstats import quality_score
+
+    df = spark.createDataFrame(corpus(), "doc_id long, url string, text string")
+    per_doc = {r["doc_id"]: r["quality"]
+               for r in quality_score(df).collect()}
+    hosts = {r["host"]: r for r in host_quality(df).collect()}
+    # replicate good.test exactly
+    g_ids = [i for i, (d, u, t) in enumerate(corpus()) if "good.test" in u]
+    want_sum = sum(round(per_doc[i] * MICRO) for i in range(4))
+    assert hosts["good.test"]["n_pages"] == 4
+    assert hosts["good.test"]["quality_micro_sum"] == want_sum
+    assert hosts["good.test"]["mean_quality_micro"] == want_sum // 4
+    assert hosts["junk.test"]["n_low_quality"] >= 0  # integral column exists
+    assert set(hosts) == {"good.test", "junk.test", "mixed.test", "lone.test"}
+
+
+def test_domain_drop_semantics(spark):
+    from article_extractor_spark.operators.hostquality import (
+        filter_by_host_quality)
+
+    df = spark.createDataFrame(corpus(), "doc_id long, url string, text string")
+    kept = filter_by_host_quality(df, min_mean_quality=0.3,
+                                  max_low_quality_frac=0.5, min_pages=2)
+    kept_hosts = {r["url"].split("/")[2] for r in kept.collect()}
+    # whole junk host gone; mixed host gone INCLUDING its good page;
+    # lone junk page survives on the evidence bar
+    assert "good.test" in kept_hosts
+    assert "junk.test" not in kept_hosts
+    assert "mixed.test" not in kept_hosts
+    assert "lone.test" in kept_hosts
+    # with the evidence bar at 1 page, the lone junk host drops too
+    kept2 = filter_by_host_quality(df, min_pages=1)
+    hosts2 = {r["url"].split("/")[2] for r in kept2.collect()}
+    assert hosts2 == {"good.test"}
+
+
+def test_broadcast_antijoin_plan(spark):
+    from article_extractor_spark.operators.hostquality import (
+        filter_by_host_quality)
+
+    df = spark.createDataFrame(corpus(), "doc_id long, url string, text string")
+    plan = filter_by_host_quality(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan
