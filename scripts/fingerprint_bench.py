@@ -172,6 +172,46 @@ def main() -> None:
     print(json.dumps({"bench": "extract_bytes docs/sec (best of 2, warm)",
                       "value": round(n_pages / wall, 1)}), flush=True)
 
+    # -- SimHash near-dup pairing ----------------------------------------
+    from article_extractor_spark.operators.textfp import simhash_near_dups
+
+    def simhash_pairs():
+        return {"docs": n_docs,
+                "pairs": simhash_near_dups(docs, max_hamming=3).count()}
+
+    _timed("textfp.simhash_near_dups d<=3", simhash_pairs)
+
+    # -- host-level quality gating ---------------------------------------
+    from article_extractor_spark.operators.hostquality import (
+        filter_by_host_quality)
+
+    docs_urls = docs.selectExpr(
+        "doc_id", "concat('http://', source, '.example.test/doc/', doc_id) "
+        "AS url", "text").localCheckpoint(eager=True)
+
+    def host_gate():
+        kept = filter_by_host_quality(docs_urls, min_mean_quality=0.2,
+                                      min_pages=3).count()
+        return {"docs": n_docs, "kept": kept}
+
+    _timed("hostquality.filter_by_host_quality", host_gate)
+
+    # -- WET segment writing ---------------------------------------------
+    import shutil
+    import tempfile
+
+    from article_extractor_spark.sources.wet_sink import write_wet_segments
+
+    wet_src = docs_urls.selectExpr("url", "text").repartition(32) \
+        .localCheckpoint(eager=True)
+    wet_dir = tempfile.mkdtemp(prefix="aes_wet_bench_")
+
+    def wet_write():
+        return {"records": write_wet_segments(wet_src, wet_dir)}
+
+    _timed("wet_sink.write_wet_segments", wet_write)
+    shutil.rmtree(wet_dir, ignore_errors=True)
+
     spark.stop()
 
 
