@@ -69,6 +69,8 @@ def wav_energy_fingerprint(content: bytes, frame_len: int = 256,
         rise = ssq[1:k + 1] * ln[:k] > ssq[:k] * ln[1:k + 1]
         for f in np.nonzero(rise)[0]:
             bits |= 1 << int(f)
+    if bits >= 1 << 63:  # n_bits=64 can set bit 63: wrap to signed int64
+        bits -= 1 << 64  # (the banding LSH handles negative longs)
     return n, nf, bits
 
 

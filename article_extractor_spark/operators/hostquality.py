@@ -43,23 +43,28 @@ def host_quality(docs: DataFrame, url_col: str = "url",
                  text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-host: page count, exact micro-quantized quality sum, mean
-    quality (micro-units, integer division — deterministic), low-quality
-    page count (quality < 0.2)."""
+    quality (micro-units, true integer division via ``div`` —
+    deterministic at any magnitude, unlike double division which loses
+    integer exactness past 2^53), low-quality page count (quality < 0.2).
+
+    ONE projection over docs (host + quality features are all row-local
+    expressions; `quality_score` is reused with the host column standing
+    in as its id column) straight into the host-keyed groupBy — no
+    doc-keyed join, so the only shuffle is the host aggregation."""
     from article_extractor_spark.operators.textstats import quality_score
 
-    hosts = docs.select(F.col(id_col), host_expr(url_col).alias("host"))
-    q = quality_score(docs.select(id_col, text_col), text_col=text_col,
-                      id_col=id_col)
-    jq = hosts.join(q, id_col)
+    with_host = docs.select(host_expr(url_col).alias("__host"),
+                            F.col(text_col))
+    q = quality_score(with_host, text_col=text_col, id_col="__host")
     micro_q = F.round(F.col("quality") * MICRO).cast("long")
-    return jq.groupBy("host").agg(
+    return q.groupBy(F.col("__host").alias("host")).agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.sum(micro_q).alias("quality_micro_sum"),
         F.sum(F.when(micro_q < int(0.2 * MICRO), 1).otherwise(0))
         .alias("n_low_quality"),
     ).withColumn(
         "mean_quality_micro",
-        (F.col("quality_micro_sum") / F.col("n_pages")).cast("long"))
+        F.expr("quality_micro_sum div n_pages"))
 
 
 def filter_by_host_quality(docs: DataFrame,
@@ -72,11 +77,15 @@ def filter_by_host_quality(docs: DataFrame,
     """Keep documents whose HOST passes both gates: mean quality >=
     ``min_mean_quality`` and low-quality fraction <= ``max_low_quality_frac``
     (hosts with fewer than ``min_pages`` pages are kept — not enough
-    evidence to damn a domain).  Fraction compare is integer
-    cross-multiplied (no float division)."""
+    evidence to damn a domain).  Documents whose URL yields no host
+    (relative/garbage/null urls -> '') are NEVER host-gated: they are
+    unrelated rows, not a domain, and judging them as one would drop
+    every schemeless-URL page on the pseudo-host's aggregate.  Fraction
+    compare is integer cross-multiplied (no float division)."""
     hq = host_quality(docs, url_col, text_col, id_col)
     bad = hq.filter(
-        (F.col("n_pages") >= min_pages)
+        (F.col("host") != "")
+        & (F.col("n_pages") >= min_pages)
         & ((F.col("mean_quality_micro") < int(min_mean_quality * MICRO))
            | (F.col("n_low_quality") * MICRO
               > F.col("n_pages") * int(max_low_quality_frac * MICRO)))

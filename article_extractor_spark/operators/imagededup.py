@@ -90,7 +90,8 @@ def phash_near_dups(hashes: DataFrame, hash_col: str = "phash",
 
 def phash_survivors(hashes: DataFrame, hash_col: str = "phash",
                     id_col: str = "media_id", bits: int = 16,
-                    max_hamming: int = 2) -> DataFrame:
+                    max_hamming: int = 2,
+                    max_iterations: int = 50) -> DataFrame:
     """One row per KEPT id: the minimum-id representative of every
     near-dup cluster plus every unclustered id — the media twin of
     `dedup_keep_best`'s survivor selection (deterministic lowest-id
@@ -98,7 +99,7 @@ def phash_survivors(hashes: DataFrame, hash_col: str = "phash",
     max(struct) pattern).  Anti-join shape: losers = clustered ids
     that are not their cluster's label."""
     clusters = phash_dup_clusters(hashes, hash_col, id_col, bits,
-                                  max_hamming)
+                                  max_hamming, max_iterations)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col))
     return hashes.select(id_col).distinct().join(
@@ -107,17 +108,20 @@ def phash_survivors(hashes: DataFrame, hash_col: str = "phash",
 
 def phash_dup_clusters(hashes: DataFrame, hash_col: str = "phash",
                        id_col: str = "media_id", bits: int = 16,
-                       max_hamming: int = 2) -> DataFrame:
+                       max_hamming: int = 2,
+                       max_iterations: int = 50) -> DataFrame:
     """(id, cluster_id) for every image in some near-dup pair, cluster_id =
     min member id via iterated label propagation on the near-dup graph
-    (same min-label scheme as `dedup.dup_clusters`, bounded iterations)."""
+    (same min-label scheme as `dedup.dup_clusters`; ``max_iterations``
+    bounds graphs whose diameter exceeds it — raise for long transitive
+    chains, matching dedup_clusters' default of 50)."""
     edges = phash_near_dups(hashes, hash_col, id_col, bits, max_hamming)
     undirected = (edges.selectExpr("id_a AS src", "id_b AS dst")
                   .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
                   .localCheckpoint())  # break lineage before the self-joins
     labels = (undirected.select(F.col("src").alias("node")).distinct()
               .withColumn("cluster_id", F.col("node")))
-    for _ in range(10):
+    for _ in range(max_iterations):
         neigh = (undirected
                  .join(labels, undirected.dst == labels.node)
                  .select(F.col("src").alias("node"), F.col("cluster_id")))

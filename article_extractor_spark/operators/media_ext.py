@@ -93,6 +93,9 @@ def image_stats_any(media: DataFrame,
     land in ``error`` instead of killing the task (a 100 TB crawl batch
     always contains malformed members)."""
 
+    import struct
+    import zlib
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -103,7 +106,12 @@ def image_stats_any(media: DataFrame,
                     w, h, n, px = decode_image_any(b)
                     rows.append((int(mid), fmt, w, h, n,
                                  hashlib.md5(px).hexdigest(), None))
-                except (ValueError, NotImplementedError, IndexError) as exc:
+                # ValueError covers the codecs' typed errors; corrupt
+                # PNG deflate raises zlib.error and a truncated JPEG
+                # header raises struct.error — all degrade to error
+                # rows, never a task failure
+                except (ValueError, NotImplementedError, IndexError,
+                        zlib.error, struct.error, EOFError) as exc:
                     rows.append((int(mid), fmt, None, None, None, None,
                                  f"{type(exc).__name__}: {exc}"[:200]))
             yield pd.DataFrame(rows, columns=[

@@ -38,7 +38,8 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 
 def simhash_dup_clusters(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 32,
-                         max_hamming: int = 3) -> DataFrame:
+                         max_hamming: int = 3,
+                         max_iterations: int = 50) -> DataFrame:
     """(id, cluster_id) over the simhash near-dup graph (min-label
     propagation, same scheme as the image path)."""
     from article_extractor_spark.operators.dedup import simhash
@@ -47,4 +48,5 @@ def simhash_dup_clusters(docs: DataFrame, text_col: str = "text",
 
     fps = simhash(docs, text_col=text_col, id_col=id_col, bits=bits)
     return phash_dup_clusters(fps, hash_col="simhash", id_col=id_col,
-                              bits=bits, max_hamming=max_hamming)
+                              bits=bits, max_hamming=max_hamming,
+                              max_iterations=max_iterations)

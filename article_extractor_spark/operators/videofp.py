@@ -58,6 +58,8 @@ def y4m_brightness_fingerprint(content: bytes,
     for f in range(min(n_bits, len(frames) - 1)):
         if sums[f + 1] > sums[f]:
             bits |= 1 << f
+    if bits >= 1 << 63:  # n_bits=64 can set bit 63: wrap to signed int64
+        bits -= 1 << 64  # (the banding LSH handles negative longs)
     return width, height, len(frames), bits
 
 

@@ -53,14 +53,19 @@ def write_wet_segments(articles: DataFrame, directory: str,
     def write_partition(rows) -> None:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         records = [(r["url"], r["ts"], r["text"].encode("utf-8"))
                    for r in rows]
         if not records:
             return
         data = build_warc(records, record_type="conversion")
         final = os.path.join(directory, f"{prefix}-{pid:05d}.warc.wet")
-        tmp = final + f".tmp-{os.getpid()}"
+        # taskAttemptId is GLOBALLY unique across the app — a pid is only
+        # per-host, so two speculative attempts of the same partition on
+        # different executors could collide on a shared filesystem and
+        # interleave into the very torn file the rename scheme prevents
+        tmp = final + f".tmp-{tc.taskAttemptId()}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, final)

@@ -27,10 +27,7 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
     """Streaming (url, warc_ts, html binary, ...) rows from a watched
     directory of WARC segments — the batch ``read_warc`` parse applied
     per micro-batch."""
-    from pyspark.sql import functions as F
-
-    from article_extractor_spark.sources.warc import (WARC_PAGES_SCHEMA,
-                                                      read_warc)
+    from article_extractor_spark.sources.warc import WARC_PAGES_SCHEMA
 
     files = (spark.readStream.format("binaryFile")
              # the binaryFile source's fixed schema, required explicitly
@@ -40,8 +37,12 @@ def read_warc_stream(spark: SparkSession, input_dir: str,
              .option("maxFilesPerTrigger", max_files_per_trigger)
              .option("pathGlobFilter", "*.warc*")
              .load(input_dir))
-    # reuse the batch record-parse mapInPandas by rebuilding it over the
-    # streaming frame: read_warc's parse closure is format-identical
+    # This mirrors read_warc's internal parse closure rather than
+    # sharing it: the batch module sits inside registered driver-query
+    # closures this round, so restructuring it to expose the closure
+    # would invalidate their verification hashes.  Sync is guarded by
+    # tests/test_streaming_warc.py's batch-parity assertion (identical
+    # segments must extract to identical text through both paths).
     import pandas as pd
     from typing import Iterator
 

@@ -79,6 +79,22 @@ def test_tail_frame_cross_multiplication_exact():
     assert fp2 == 0
 
 
+def test_64bit_fingerprint_wraps_to_signed():
+    """n_bits=64 can set bit 63; the fingerprint must wrap to a signed
+    int64 (the banded LSH handles negative longs) instead of overflowing
+    Arrow's int64 conversion."""
+    # alternating loud(even)/quiet(odd) frames: bit f set iff f is odd
+    # (the transition into an even frame rises), so bit 63 is set
+    frames = []
+    for f in range(70):
+        frames.extend([4000 if f % 2 == 0 else 10] * 64)
+    n, nf, fp = wav_energy_fingerprint(wav_bytes(frames), frame_len=64,
+                                       n_bits=64)
+    assert nf == 70
+    assert -(1 << 63) <= fp < (1 << 63)
+    assert fp < 0  # bit 63 set -> wrapped negative
+
+
 def test_stereo_rejected():
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:

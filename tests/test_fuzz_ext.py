@@ -20,13 +20,39 @@ from article_extractor_spark.operators.media_ext import (decode_image_any,
 def test_decode_any_garbage_fails_clean(data):
     """Arbitrary bytes: sniff never raises; decode either succeeds with a
     sane shape or raises one of the typed errors the Arrow operator
-    catches (ValueError covers GifError/PngError/JpegError subclasses)."""
+    catches (ValueError covers GifError/PngError/JpegError subclasses;
+    corrupt PNG deflate raises zlib.error, truncated JPEG headers
+    struct.error)."""
+    import struct
+    import zlib
+
     assert sniff_format(data) in ("gif", "png", "jpeg", "other")
     try:
         w, h, n, px = decode_image_any(data)
         assert w >= 1 and h >= 1 and n >= 1 and isinstance(px, bytes)
-    except (ValueError, NotImplementedError, IndexError):
+    except (ValueError, NotImplementedError, IndexError,
+            zlib.error, struct.error, EOFError):
         pass
+
+
+def test_corrupt_png_and_truncated_jpeg_become_error_rows():
+    """The exact payload classes the review flagged: corrupt PNG IDAT
+    (zlib.error) and a bare truncated JPEG header (struct.error) must
+    degrade to error rows through the pure decode path's except set."""
+    import struct
+    import zlib
+
+    from article_extractor_spark.core.png import encode_png
+
+    good = encode_png(4, 4, bytes(48))
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # inside IDAT deflate data
+    for payload in (bytes(corrupt), b"\xff\xd8\xff\xc0"):
+        try:
+            decode_image_any(payload)
+        except (ValueError, NotImplementedError, IndexError,
+                zlib.error, struct.error, EOFError):
+            pass  # exactly the classes image_stats_any catches
 
 
 @settings(max_examples=60, deadline=None)

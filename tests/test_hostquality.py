@@ -99,6 +99,44 @@ def test_domain_drop_semantics(spark):
     assert hosts2 == {"good.test"}
 
 
+def test_empty_host_never_gated(spark):
+    """Docs whose URL yields no host ('' pseudo-host: relative, garbage,
+    null) are never dropped by the domain gate, however junky."""
+    from article_extractor_spark.operators.hostquality import (
+        filter_by_host_quality)
+
+    rows = [(1, "relative/path.html", JUNK), (2, "not a url", JUNK),
+            (3, None, JUNK), (4, "http://junk.test/a", JUNK),
+            (5, "http://junk.test/b", JUNK)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = {r["doc_id"] for r in
+            filter_by_host_quality(df, min_pages=1).collect()}
+    assert kept == {1, 2, 3}  # junk.test dropped; hostless rows kept
+
+
+def test_mean_quality_integer_division(spark):
+    """mean_quality_micro must be TRUE integer division (div), not a
+    double cast — pinned on a sum where both agree, plus the plan shape."""
+    from article_extractor_spark.operators.hostquality import host_quality
+
+    df = spark.createDataFrame(
+        [(1, "http://h.test/a", GOOD), (2, "http://h.test/b", JUNK),
+         (3, "http://h.test/c", GOOD)],
+        "doc_id long, url string, text string")
+    row = host_quality(df).collect()[0]
+    assert row["mean_quality_micro"] == row["quality_micro_sum"] // 3
+
+
+def test_single_corpus_projection_no_join(spark):
+    """host_quality must not self-join the corpus: one projection into
+    the host groupBy (the review's 100 TB shape fix)."""
+    from article_extractor_spark.operators.hostquality import host_quality
+
+    df = spark.createDataFrame(corpus(), "doc_id long, url string, text string")
+    plan = host_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_broadcast_antijoin_plan(spark):
     from article_extractor_spark.operators.hostquality import (
         filter_by_host_quality)

@@ -116,6 +116,19 @@ def test_dup_clusters_min_label(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}  # 20 not in any pair
 
 
+def test_long_chain_converges(spark):
+    """A transitive chain longer than the old 10-iteration bound must
+    still collapse to one cluster (default max_iterations=50)."""
+    # ids 0..24 in a chain: consecutive hashes differ by exactly 1 bit
+    rows, h = [], 0
+    for i in range(25):
+        rows.append((i, h))
+        h ^= 1 << (i % 16)
+    got = {r["id"]: r["cluster_id"] for r in
+           phash_dup_clusters(_df(spark, rows), max_hamming=1).collect()}
+    assert set(got.values()) == {0} and len(got) == 25
+
+
 def test_survivors_keep_one_per_cluster(spark):
     """Media-dedup composite: chain 1-2-3 keeps only 1, pair 10-11
     keeps 10, singleton 20 always survives."""
