@@ -79,6 +79,48 @@ def test_corrupted_gif_fails_clean_or_decodes(w, h, noise, pos, flip):
             pass
 
 
+# ----------------------------------------------------------- EXIF
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_exif_on_garbage_fails_clean(data):
+    """parse_exif raises only ExifError on arbitrary bytes; strip_exif
+    NEVER raises and is a no-op or a shrink, never a growth."""
+    from article_extractor_spark.core.exif import (ExifError, parse_exif,
+                                                   strip_exif)
+
+    try:
+        out = parse_exif(data)
+        assert isinstance(out, dict)
+    except ExifError:
+        pass
+    stripped = strip_exif(data)
+    assert len(stripped) <= len(data) or stripped == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(min_value=0, max_value=3000),
+       st.integers(min_value=1, max_value=255))
+def test_exif_bitflip_fails_clean_and_strip_idempotent(pos, flip):
+    from article_extractor_spark.core.exif import (ExifError, parse_exif,
+                                                   strip_exif)
+    from article_extractor_spark.core.jpeg import encode_jpeg_gray
+
+    base = encode_jpeg_gray(16, 16, bytes(range(0, 256)))
+    from article_extractor_spark.core.exif import build_exif_jpeg
+
+    jpg = bytearray(build_exif_jpeg(base, make="Cam", gps=(12.5, -7.25)))
+    jpg[pos % len(jpg)] ^= flip
+    payload = bytes(jpg)
+    try:
+        parse_exif(payload)
+    except ExifError:
+        pass
+    once = strip_exif(payload)
+    assert strip_exif(once) == once  # idempotent
+
+
 # --------------------------------------------------- imagededup pigeonhole
 
 
