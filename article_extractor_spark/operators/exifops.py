@@ -88,3 +88,24 @@ def scrub_exif(media: DataFrame, id_col: str = "media_id",
 
     return media.select(id_col, content_col).mapInPandas(
         fn, SCRUBBED_SCHEMA)
+
+
+def scrub_media_metadata(media: DataFrame, id_col: str = "media_id",
+                         content_col: str = "content") -> DataFrame:
+    """Format-routed metadata scrub: JPEG EXIF, PNG text/time/eXIf
+    chunks, GIF comment/plain-text/XMP extensions — pixels untouched in
+    every format (`core/mediameta.py`); unknown formats pass through."""
+    from article_extractor_spark.core.mediameta import strip_media_metadata
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw) if raw is not None else b""
+                out = strip_media_metadata(b)
+                rows.append((int(mid), out, len(b) - len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "content", "bytes_removed"])
+
+    return media.select(id_col, content_col).mapInPandas(
+        fn, SCRUBBED_SCHEMA)
