@@ -1,0 +1,105 @@
+"""Robots-meta directives and canonical-URL dedup: attribute-order and
+quoting variants, token-boundary semantics, deterministic survivor."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("aes-htmlmeta-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def page(head_extra=""):
+    return (f"<html><head><title>T</title>{head_extra}</head>"
+            "<body><p>body</p></body></html>")
+
+
+def test_robots_variants(spark):
+    from article_extractor_spark.operators.htmlmeta import robots_directives
+
+    rows = [
+        (1, page('<meta name="robots" content="noindex, nofollow">')),
+        (2, page("<meta name='robots' content='NOINDEX'>")),
+        (3, page('<meta content="nofollow" name="robots">')),  # attr order
+        (4, page('<meta name=robots content=none>')),          # unquoted
+        (5, page('<meta name="robots" content="index, follow">')),
+        (6, page()),                                            # absent
+        (7, page('<meta name="robots" content="noindexing-policy">')),
+        (8, page('<meta name="googlebot" content="noindex">')),  # other agent
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r["id"]: (r["noindex"], r["nofollow"])
+           for r in robots_directives(df).collect()}
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    assert got[3] == (0, 1)
+    assert got[4] == (1, 1)  # none = noindex + nofollow
+    assert got[5] == (0, 0)
+    assert got[6] == (0, 0)
+    assert got[7] == (0, 0)  # token boundary: 'noindexing-policy' is not noindex
+    assert got[8] == (0, 0)  # name != robots
+
+
+def test_noindex_filter(spark):
+    from article_extractor_spark.operators.htmlmeta import noindex_filter
+
+    rows = [(1, page('<meta name="robots" content="noindex">')),
+            (2, page()), (3, page('<meta name="robots" content="all">'))]
+    df = spark.createDataFrame(rows, "id long, html string")
+    kept = {r["id"] for r in noindex_filter(df).collect()}
+    assert kept == {2, 3}
+    assert set(noindex_filter(df).columns) == {"id", "html"}
+
+
+def test_canonical_extraction_and_fallback(spark):
+    from article_extractor_spark.operators.htmlmeta import canonical_url
+
+    rows = [
+        (1, "http://a.test/p?utm=x",
+         page('<link rel="canonical" href="http://a.test/p">')),
+        (2, "http://b.test/q",
+         page('<link href="http://b.test/canon" rel=canonical>')),
+        (3, "http://c.test/self", page()),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, html string")
+    got = {r["id"]: r["canonical"] for r in canonical_url(df).collect()}
+    assert got[1] == "http://a.test/p"
+    assert got[2] == "http://b.test/canon"
+    assert got[3] == "http://c.test/self"
+
+
+def test_canonical_dedup_min_url_survives(spark):
+    from article_extractor_spark.operators.htmlmeta import canonical_dedup
+
+    canon = '<link rel="canonical" href="http://s.test/article">'
+    rows = [
+        (1, "http://s.test/article?ref=tw", page(canon)),
+        (2, "http://s.test/article", page(canon)),
+        (3, "http://s.test/article/amp", page(canon)),
+        (4, "http://other.test/thing", page()),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, html string")
+    got = {r["canonical"]: r["url"] for r in canonical_dedup(df).collect()}
+    assert got["http://s.test/article"] == "http://s.test/article"
+    assert got["http://other.test/thing"] == "http://other.test/thing"
+    assert len(got) == 2
+
+
+def test_zero_python_plan(spark):
+    from article_extractor_spark.operators.htmlmeta import robots_directives
+
+    df = spark.createDataFrame([(1, page())], "id long, html string")
+    plan = robots_directives(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
