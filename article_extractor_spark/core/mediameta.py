@@ -112,9 +112,38 @@ def strip_gif_metadata(data: bytes) -> bytes:
     return bytes(out)
 
 
+WAV_META_CHUNKS = {b"LIST", b"INFO", b"id3 ", b"ID3 ", b"bext"}
+
+
+def strip_wav_metadata(data: bytes) -> bytes:
+    """Drop RIFF metadata chunks (LIST/INFO tags, id3, broadcast-wave
+    bext) from a WAVE file; fmt/data and unknown chunks pass through
+    verbatim and the RIFF size field is rewritten.  Non-WAV or
+    unwalkable input is returned unchanged."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return data
+    out = bytearray(b"RIFF\x00\x00\x00\x00WAVE")
+    pos = 12
+    try:
+        while pos + 8 <= len(data):
+            ctype = data[pos:pos + 4]
+            (ln,) = struct.unpack("<L", data[pos + 4:pos + 8])
+            end = pos + 8 + ln + (ln & 1)  # chunks are word-aligned
+            if end > len(data) + 1:
+                return data
+            if ctype not in WAV_META_CHUNKS:
+                out += data[pos:min(end, len(data))]
+            pos = end
+    except struct.error:
+        return data
+    struct.pack_into("<L", out, 4, len(out) - 8)
+    return bytes(out)
+
+
 def strip_media_metadata(data: bytes) -> bytes:
     """Route by magic: JPEG -> EXIF strip, PNG -> chunk strip, GIF ->
-    extension strip; anything else passes through unchanged."""
+    extension strip, WAV -> RIFF chunk strip; anything else passes
+    through unchanged."""
     if data[:2] == b"\xFF\xD8":
         from article_extractor_spark.core.exif import strip_exif
 
@@ -123,4 +152,6 @@ def strip_media_metadata(data: bytes) -> bytes:
         return strip_png_metadata(data)
     if data[:6] in GIF_HEADERS:
         return strip_gif_metadata(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return strip_wav_metadata(data)
     return data

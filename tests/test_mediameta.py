@@ -90,6 +90,34 @@ def test_gif_netscape_loop_kept():
     assert b"NETSCAPE" in clean  # looping control is not metadata
 
 
+def test_wav_strip_preserves_samples():
+    import io
+    import wave
+
+    from article_extractor_spark.core.mediameta import strip_wav_metadata
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<20h", *range(20)))
+    base = buf.getvalue()
+    # splice a LIST/INFO chunk with an artist tag before the data chunk
+    info = b"INFOIART" + struct.pack("<L", 8) + b"Someone\x00"
+    lst = b"LIST" + struct.pack("<L", len(info)) + info
+    didx = base.index(b"data")
+    dirty = base[:didx] + lst + base[didx:]
+    clean = strip_wav_metadata(dirty)
+    assert b"Someone" not in clean and b"LIST" not in clean
+    with wave.open(io.BytesIO(clean), "rb") as r:
+        got = r.readframes(r.getnframes())
+    assert got == struct.pack("<20h", *range(20))
+    # RIFF size field rewritten to the new length
+    assert struct.unpack("<L", clean[4:8])[0] == len(clean) - 8
+    assert strip_wav_metadata(b"RIFFxxxxNOTW") == b"RIFFxxxxNOTW"
+
+
 def test_passthrough_unknown_and_truncated():
     assert strip_png_metadata(b"not png") == b"not png"
     assert strip_gif_metadata(b"GIF89a") == b"GIF89a"  # truncated
