@@ -73,14 +73,17 @@ def main() -> None:
         extract_articles_from_bytes)
     from article_extractor_spark.operators.media_ext import image_stats_any
     from article_extractor_spark.operators.router import route_payloads
-    from article_extractor_spark.sources.warc import read_warc
+    from article_extractor_spark.sources.warc_http import (ok_responses,
+                                                           read_warc_http)
     from article_extractor_spark.sources.wet_sink import write_wet_segments
 
-    pages = read_warc(spark, warc_dir).localCheckpoint()
+    # keep the HTTP head: 200-gate + transport charset (WHATWG-ranked
+    # above the in-document meta) flow into extraction
+    pages = ok_responses(read_warc_http(spark, warc_dir)).localCheckpoint()
     routed = route_payloads(pages, content_col="html")
 
     articles = extract_articles_from_bytes(
-        routed["html"], body_col="html",
+        routed["html"], body_col="html", content_type_col="content_type",
         num_partitions=args.partitions).localCheckpoint()
     articles.write.mode("overwrite").parquet(
         os.path.join(args.output, "articles"))
