@@ -58,15 +58,22 @@ def phash_bands(hashes: DataFrame, hash_col: str = "phash",
 def phash_near_dups(hashes: DataFrame, hash_col: str = "phash",
                     id_col: str = "media_id", bits: int = 16,
                     max_hamming: int = 2, bands: int | None = None,
-                    bucket_cap: int | None = None) -> DataFrame:
+                    bucket_cap: int | None = None,
+                    materialize: bool = False) -> DataFrame:
     """All pairs (id_a < id_b) with hamming(hash_a, hash_b) <= max_hamming.
 
     ``bands`` defaults to ``max_hamming + 1`` — the smallest count with
     the pigeonhole no-false-negative guarantee.  ``bucket_cap`` (optional)
     drops band-buckets larger than the cap before the self-join: a skew
-    bound for degenerate corpora, documented recall trade."""
+    bound for degenerate corpora, documented recall trade.
+    ``materialize=True`` localCheckpoints the input projection first —
+    set it when ``hashes`` is produced by an expensive stage (a real
+    decode/fingerprint Arrow pass), which the self-join would otherwise
+    replay once per side; leave False for cheap scans."""
     if bands is None:
         bands = max_hamming + 1
+    if materialize:
+        hashes = hashes.select(id_col, hash_col).localCheckpoint()
     banded = phash_bands(hashes, hash_col, id_col, bits, bands)
     if bucket_cap is not None:
         counts = banded.groupBy("band", "band_value").agg(

@@ -97,4 +97,5 @@ def video_near_dups(fingerprints: DataFrame, max_hamming: int = 3,
     return phash_near_dups(
         fingerprints.filter("error IS NULL"),
         hash_col="fingerprint", id_col="media_id", bits=n_bits,
-        max_hamming=max_hamming, bucket_cap=bucket_cap)
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
+        materialize=True)  # fingerprinting is an Arrow decode pass
