@@ -120,6 +120,18 @@ def parse_exif(data: bytes) -> dict:
             break
     if payload is None:
         return {}
+    # Normalize every malformation class to ExifError so the Arrow
+    # operator's single except clause holds: degenerate entries raise
+    # struct.error (short buffers), type-confused tags raise TypeError
+    # (a GPS coordinate stored as a scalar reaching the DMS fold).
+    try:
+        return _parse_tiff(payload)
+    except (struct.error, TypeError, IndexError, OverflowError) as exc:
+        raise ExifError(f"malformed EXIF: {type(exc).__name__}: {exc}") \
+            from exc
+
+
+def _parse_tiff(payload: bytes) -> dict:
     if len(payload) < 8:
         raise ExifError("EXIF payload too short")
     order = payload[:2]

@@ -112,13 +112,15 @@ def strip_gif_metadata(data: bytes) -> bytes:
     return bytes(out)
 
 
-WAV_META_CHUNKS = {b"LIST", b"INFO", b"id3 ", b"ID3 ", b"bext"}
+WAV_META_CHUNKS = {b"id3 ", b"ID3 ", b"bext"}
+WAV_META_LIST_FORMS = {b"INFO", b"adtl"}  # tag lists; LIST/wavl is AUDIO
 
 
 def strip_wav_metadata(data: bytes) -> bytes:
-    """Drop RIFF metadata chunks (LIST/INFO tags, id3, broadcast-wave
-    bext) from a WAVE file; fmt/data and unknown chunks pass through
-    verbatim and the RIFF size field is rewritten.  Non-WAV or
+    """Drop RIFF metadata chunks (LIST chunks of form INFO/adtl, id3,
+    broadcast-wave bext) from a WAVE file; fmt/data, LIST/wavl (the
+    RIFF wave-list form that CARRIES audio) and unknown chunks pass
+    through verbatim and the RIFF size field is rewritten.  Non-WAV or
     unwalkable input is returned unchanged."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return data
@@ -131,7 +133,10 @@ def strip_wav_metadata(data: bytes) -> bytes:
             end = pos + 8 + ln + (ln & 1)  # chunks are word-aligned
             if end > len(data) + 1:
                 return data
-            if ctype not in WAV_META_CHUNKS:
+            drop = ctype in WAV_META_CHUNKS or (
+                ctype == b"LIST"
+                and data[pos + 8:pos + 12] in WAV_META_LIST_FORMS)
+            if not drop:
                 out += data[pos:min(end, len(data))]
             pos = end
     except struct.error:

@@ -33,23 +33,23 @@ _META_NAME_FIRST = (
 # quoted value at its first internal space
 _META_CONTENT_FIRST_Q = (
     r'(?i)<meta\s[^>]*content\s*=\s*["\']([^"\'>]*)["\'][^>]*'
-    r'name\s*=\s*["\']?robots["\']?')
+    r'name\s*=\s*["\']?robots["\'\s>]')
 _META_CONTENT_FIRST_U = (
     r'(?i)<meta\s[^>]*content\s*=\s*([^"\'>\s]+)[^>]*'
-    r'name\s*=\s*["\']?robots["\']?')
+    r'name\s*=\s*["\']?robots["\'\s>]')
 _CANONICAL = (
     r'(?i)<link\s[^>]*rel\s*=\s*["\']?canonical["\']?[\s>][^>]*'
     r'href\s*=\s*["\']?([^"\'>\s]+)')
 _CANONICAL_HREF_FIRST_Q = (
     r'(?i)<link\s[^>]*href\s*=\s*["\']([^"\'>\s]+)["\'][^>]*'
-    r'rel\s*=\s*["\']?canonical["\']?')
+    r'rel\s*=\s*["\']?canonical["\'\s>]')
 _CANONICAL_HREF_FIRST_U = (
     r'(?i)<link\s[^>]*href\s*=\s*([^"\'>\s]+)[^>]*'
-    r'rel\s*=\s*["\']?canonical["\']?')
+    r'rel\s*=\s*["\']?canonical["\'\s>]')
 
 
 def _head(html_col: str, n: int = 4096):
-    return F.expr(f"substring({html_col}, 1, {n})")
+    return F.substring(F.col(html_col), 1, n)
 
 
 def robots_directives(df: DataFrame, html_col: str = "html") -> DataFrame:

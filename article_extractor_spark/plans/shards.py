@@ -30,6 +30,41 @@ from pyspark.sql import functions as F
 MANIFEST = "_manifest.json"  # underscore: Spark file listings skip it
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write through the Hadoop FileSystem API so the manifest lands
+    wherever the shards did (local, hdfs://, s3a://) — a driver-local
+    ``open()`` would fail after the expensive shard write on any
+    non-local directory."""
+    fs, jpath = _hadoop_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    """Read back through the Hadoop FileSystem too.  Not sc.textFile —
+    Hadoop's hidden-file filter skips `_`-prefixed paths (the very
+    convention the manifest name relies on); and not a raw buffer read —
+    py4j cannot copy a Java-side array fill back into Python.  commons-io
+    (shipped with Hadoop) drains the stream JVM-side into a String."""
+    fs, jpath = _hadoop_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark.sparkContext._jvm.org.apache.commons.io.IOUtils \
+            .toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def _per_shard_stats(df: DataFrame, token_col: str | None):
     cols = [c for c in sorted(df.columns) if c != "shard"]
     h = F.xxhash64(*[F.col(c) for c in cols])
@@ -91,8 +126,8 @@ def write_training_shards(df: DataFrame, directory: str, n_shards: int,
     }
     if token_col:
         manifest["total_tokens"] = sum(e["tokens"] for e in shards)
-    with open(os.path.join(directory, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_text(spark, os.path.join(directory, MANIFEST),
+                json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
 
 
@@ -100,8 +135,8 @@ def verify_shards(spark: SparkSession, directory: str) -> dict:
     """Re-checksum the shard directory against its manifest; returns
     {'ok': bool, 'mismatched_shards': [...]} without raising, so a
     maintenance job can report."""
-    with open(os.path.join(directory, MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(
+        _read_text(spark, os.path.join(directory, MANIFEST)))
     written = spark.read.parquet(directory)
     got = {r["shard"]: r for r in
            _per_shard_stats(written, manifest.get("token_col")).collect()}

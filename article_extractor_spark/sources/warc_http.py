@@ -45,13 +45,17 @@ def split_http_head(body: bytes) -> tuple[int | None, str | None, bytes]:
     as (None, None, body)."""
     if body[:5] != b"HTTP/":
         return None, None, body
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        i = body.find(sep)
-        if i != -1:
-            head, payload = body[:i], body[i + len(sep):]
-            break
-    else:
+    # take whichever separator occurs FIRST: a bare-LF head followed by
+    # a payload containing \r\n\r\n must split at the LF-LF, not deep
+    # inside the payload (the parse_warc_records convention)
+    crlf = body.find(b"\r\n\r\n")
+    lf = body.find(b"\n\n")
+    candidates = [(i, sep) for i, sep in
+                  ((crlf, b"\r\n\r\n"), (lf, b"\n\n")) if i != -1]
+    if not candidates:
         return None, None, body
+    i, sep = min(candidates)
+    head, payload = body[:i], body[i + len(sep):]
     lines = head.decode("latin-1").splitlines()
     status = None
     parts = lines[0].split()

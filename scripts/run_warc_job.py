@@ -35,9 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="directory of WARC segments")
-    ap.add_argument("--synthesize",
-                    help="build a WARC from this sf dir's pages first")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="directory of WARC segments")
+    src.add_argument("--synthesize",
+                     help="build a WARC from this sf dir's pages first")
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)

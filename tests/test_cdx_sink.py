@@ -77,3 +77,30 @@ def test_index_plans_record_reads(spark, tmp_path):
         "filename", F.element_at(F.split("source_file", "/"), -1))
     hit = planned.join(archive, ["filename", "record_offset"])
     assert hit.count() == wanted.count() > 0
+
+
+def test_null_ts_space_url_and_real_status(spark):
+    """Line-format safety: NULL warc_ts emits the epoch stamp (fields
+    never shift), spaces in urlkeys are escaped, and status/mime columns
+    from the HTTP-head shape are honored when named."""
+    from article_extractor_spark.sources.cdx import read_cdx
+    from article_extractor_spark.sources.cdx_sink import write_cdx
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("http://n.test/a b.html", None, b"<html>1</html>", "f.warc", 0,
+         404, "image/jpeg"),
+        (None, "2024-01-01 00:00:00", b"x", "f.warc", 10, 200, "text/html"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, source_file string,"
+        " record_offset long, status int, content_type string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = str(spark.conf.get("spark.local.dir", "/tmp")) + "/cdx_null_test"
+    write_cdx(df, out, status_col="status", mime_col="content_type")
+    got = read_cdx(spark, out).collect()
+    assert len(got) == 1  # the null-url record is dropped
+    r = got[0]
+    assert r["urlkey"].startswith("test,n)/a%20b.html")
+    assert str(r["capture_ts"]) == "1970-01-01 00:00:00"
+    assert r["status"] == "404" and r["mime"] == "image/jpeg"

@@ -108,3 +108,37 @@ def test_distributed_stats_and_scrub(spark):
     assert parse_exif(bytes(scrubbed[1]["content"])) == {}
     assert scrubbed[3]["bytes_removed"] == 0
     assert bytes(scrubbed[4]["content"]) == b"not an image"
+
+
+def test_degenerate_ifd_entries_raise_exif_error_only():
+    """Type-confused tags (GPS coordinate stored scalar) and zero-count
+    entries must surface as ExifError, never struct.error/TypeError —
+    the Arrow operator catches exactly ExifError."""
+    import struct as st
+
+    def tiff(entries):
+        body = st.pack("<H", len(entries))
+        for tag, typ, cnt, val4 in entries:
+            body += st.pack("<HHL", tag, typ, cnt) + val4
+        return b"II" + st.pack("<HL", 42, 8) + body + st.pack("<L", 0)
+
+    app1 = b"Exif\x00\x00"
+    base = base_jpeg()
+    # GPS IFD pointer to an IFD whose GPSLat is a SHORT scalar, not RATIONAL
+    gps_ifd_off = 8 + 2 + 12 + 4
+    t = (b"II" + st.pack("<HL", 42, 8)
+         + st.pack("<H", 1) + st.pack("<HHL", 0x8825, 4, 1)
+         + st.pack("<L", gps_ifd_off) + st.pack("<L", 0)
+         + st.pack("<H", 2)
+         + st.pack("<HHL", 0x0001, 2, 2) + b"N\x00\x00\x00"
+         + st.pack("<HHL", 0x0002, 3, 1) + st.pack("<L", 7)
+         + st.pack("<L", 0))
+    for payload in (
+        tiff([(0x0112, 3, 0, b"\x00" * 4)]),   # SHORT with count 0
+        t,                                        # scalar GPS latitude
+    ):
+        seg = app1 + payload
+        jpg = (base[:2] + b"\xFF\xE1" + st.pack(">H", len(seg) + 2)
+               + seg + base[2:])
+        with pytest.raises(ExifError):
+            parse_exif(jpg)

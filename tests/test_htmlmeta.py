@@ -103,3 +103,22 @@ def test_zero_python_plan(spark):
         .executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEval" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_attribute_values_do_not_match(spark):
+    """'robots-extension' / 'canonicalize' must NOT match as prefixes in
+    the content-first / href-first patterns."""
+    from article_extractor_spark.operators.htmlmeta import (canonical_url,
+                                                            robots_directives)
+
+    rows = [
+        (1, "http://p.test/a",
+         page('<meta content="none important" name="robots-extension">')),
+        (2, "http://p.test/b",
+         page('<link href="http://p.test/evil" rel="canonicalize">')),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, html string")
+    r = {x["id"]: x for x in robots_directives(df).collect()}
+    assert r[1]["noindex"] == 0 and r[1]["robots_meta"] == ""
+    c = {x["id"]: x["canonical"] for x in canonical_url(df).collect()}
+    assert c[2] == "http://p.test/b"  # self-canonical fallback, not evil

@@ -142,3 +142,22 @@ def test_routed_scrub_distributed(spark):
     assert bytes(got[4]["content"]) == b"other payload"
     assert all(got[i]["bytes_removed"] > 0 for i in (1, 2, 3))
     assert got[4]["bytes_removed"] == 0
+
+
+def test_wav_list_wavl_audio_form_kept():
+    """LIST/'wavl' carries AUDIO per the RIFF spec — the scrub must keep
+    it while still dropping LIST/INFO."""
+    from article_extractor_spark.core.mediameta import strip_wav_metadata
+
+    data_chunk = b"data" + struct.pack("<L", 4) + b"\x01\x02\x03\x04"
+    wavl = b"wavl" + data_chunk
+    lst_audio = b"LIST" + struct.pack("<L", len(wavl)) + wavl
+    info = b"INFOIART" + struct.pack("<L", 4) + b"Me\x00\x00"
+    lst_info = b"LIST" + struct.pack("<L", len(info)) + info
+    fmt = b"fmt " + struct.pack("<L", 16) + struct.pack(
+        "<HHLLHH", 1, 1, 8000, 16000, 2, 16)
+    body = fmt + lst_audio + lst_info
+    wav = b"RIFF" + struct.pack("<L", 4 + len(body)) + b"WAVE" + body
+    clean = strip_wav_metadata(wav)
+    assert b"wavl" in clean and b"\x01\x02\x03\x04" in clean
+    assert b"IART" not in clean

@@ -97,3 +97,16 @@ def test_header_charset_beats_meta(spark, tmp_path):
         pages, body_col="html").collect()[0]["text"]
     # the lying meta wins without the header: mojibake
     assert "café" not in without_header
+
+
+def test_bare_lf_head_with_crlf_in_payload():
+    """An LF-terminated HTTP head followed by a payload containing
+    \r\n\r\n must split at the FIRST separator (the LF-LF), not deep
+    inside the payload."""
+    from article_extractor_spark.sources.warc_http import split_http_head
+
+    payload = b"<html><body>pre\r\n\r\npost</body></html>"
+    body = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n") + payload
+    s, c, p = split_http_head(body)
+    assert (s, c) == (200, "text/html")
+    assert p == payload
