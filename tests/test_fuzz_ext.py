@@ -164,6 +164,36 @@ def test_pigeonhole_no_false_negatives(bits, d, data):
     assert acc == h1
 
 
+# ----------------------------------------------------------- warc_http
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_split_http_head_never_raises_never_grows(data):
+    from article_extractor_spark.sources.warc_http import split_http_head
+
+    status, ctype, payload = split_http_head(data)
+    assert len(payload) <= len(data)
+    assert status is None or isinstance(status, int)
+    if not data.startswith(b"HTTP/"):
+        assert payload == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=100, max_value=599),
+       st.binary(min_size=0, max_size=300),
+       st.sampled_from([b"\r\n", b"\n"]))
+def test_split_http_head_roundtrip(status, payload, eol):
+    """A well-formed head with either line ending yields exactly the
+    payload back, wherever \\r\\n\\r\\n appears inside it."""
+    from article_extractor_spark.sources.warc_http import split_http_head
+
+    head = (b"HTTP/1.1 %d X" % status) + eol \
+        + b"Content-Type: text/html" + eol + eol
+    s, c, p = split_http_head(head + payload)
+    assert s == status and c == "text/html" and p == payload
+
+
 # ----------------------------------------------------------- audiofp
 
 
