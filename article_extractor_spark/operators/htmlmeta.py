@@ -93,6 +93,30 @@ def canonical_url(df: DataFrame, html_col: str = "html",
     return df.withColumn("canonical", decl)
 
 
+def compliant_outlinks(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Robots-compliant host edge list: pages whose robots meta declares
+    ``nofollow`` (or ``none``) contribute NO outlinks — the publisher
+    said their links carry no endorsement, and a compliant link graph
+    (PageRank/HITS/anchor-text inputs) honors that.  Composes the frozen
+    `linkgraph.extract_outlinks` behind the nofollow gate; same output
+    schema (src_host, dst_host, n_links)."""
+    from article_extractor_spark.operators.linkgraph import extract_outlinks
+
+    selected = pages.select(url_col, html_col)
+    if dict(selected.dtypes)[html_col] == "binary":
+        # flag on a decoded view; the original binary column flows on to
+        # extract_outlinks (which decodes for itself)
+        flagged = robots_directives(
+            selected.withColumn("__h", F.decode(F.col(html_col), "UTF-8")),
+            "__h")
+    else:
+        flagged = robots_directives(selected, html_col)
+    followable = flagged.filter(F.col("nofollow") == 0).select(
+        url_col, html_col)
+    return extract_outlinks(followable, url_col=url_col, html_col=html_col)
+
+
 def canonical_dedup(df: DataFrame, html_col: str = "html",
                     url_col: str = "url") -> DataFrame:
     """One row per canonical URL: the member with the MINIMUM url wins

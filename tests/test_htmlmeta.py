@@ -122,3 +122,29 @@ def test_prefix_attribute_values_do_not_match(spark):
     assert r[1]["noindex"] == 0 and r[1]["robots_meta"] == ""
     c = {x["id"]: x["canonical"] for x in canonical_url(df).collect()}
     assert c[2] == "http://p.test/b"  # self-canonical fallback, not evil
+
+
+def test_compliant_outlinks_nofollow_gate(spark):
+    """Pages declaring nofollow contribute no edges; others do — and the
+    binary-html path flags correctly too."""
+    from article_extractor_spark.operators.htmlmeta import compliant_outlinks
+
+    link = '<a href="http://dst.test/x">x</a>'
+    html_follow = ('<html><head><title>T</title></head>'
+                   f'<body>{link}{link}</body></html>')
+    html_nofollow = ('<html><head>'
+                     '<meta name="robots" content="nofollow"></head>'
+                     f'<body>{link}</body></html>')
+    df = spark.createDataFrame(
+        [("http://src-a.test/1", html_follow),
+         ("http://src-b.test/1", html_nofollow)],
+        "url string, html string")
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in compliant_outlinks(df).collect()}
+    assert got == {("src-a.test", "dst.test"): 2}
+
+    # binary html column: same verdicts
+    dfb = df.selectExpr("url", "encode(html, 'UTF-8') AS html")
+    gotb = {(r["src_host"], r["dst_host"]): r["n_links"]
+            for r in compliant_outlinks(dfb).collect()}
+    assert gotb == got
