@@ -100,3 +100,44 @@ def start_warc_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_warc_to_wet_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    *,
+    available_now: bool = True,
+    config_broadcast=None,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming twin of the full production job's text branch: WARC
+    segments in, WET conversion segments out, continuously.
+
+    ``foreachBatch`` hands each micro-batch to the batch WET writer with
+    a per-batch file prefix, so segments from different micro-batches
+    never collide and each lands atomically (the writer's temp+rename).
+    Exactly-once comes from the file-source checkpoint: a replayed batch
+    re-writes the SAME ``wave-<epoch>-*`` segment names idempotently."""
+    from article_extractor_spark.operators.extract_bytes import (
+        extract_articles_from_bytes)
+    from article_extractor_spark.sources.wet_sink import write_wet_segments
+
+    pages = read_warc_stream(spark, input_dir, max_files_per_trigger)
+    arts = extract_articles_from_bytes(
+        pages, body_col="html", config_broadcast=config_broadcast)
+
+    wet_dir = os.path.join(output_dir, "wet")
+
+    def sink(batch_df, epoch_id: int) -> None:
+        write_wet_segments(batch_df, wet_dir,
+                           prefix=f"wave-{epoch_id:06d}")
+
+    writer = (
+        arts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                os.path.join(output_dir, "_wet_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

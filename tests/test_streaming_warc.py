@@ -64,3 +64,33 @@ def test_warc_stream_exactly_once_and_batch_parity(spark, tmp_path):
         read_warc(spark, str(in_dir)), body_col="html").collect()}
     stream_got = {r["url"]: r["text"] for r in got2.collect()}
     assert stream_got == want
+
+
+def test_warc_to_wet_stream(spark, tmp_path):
+    """Streaming WET production: segments in waves, conversion records
+    out, exactly-once across a second drain, read back via read_warc."""
+    import os
+
+    from article_extractor_spark.sources.warc import read_warc
+    from article_extractor_spark.streaming.warc_stream import (
+        start_warc_to_wet_stream)
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    in_dir.mkdir()
+    (in_dir / "seg-0.warc").write_bytes(_segment(range(0, 8)))
+
+    q = start_warc_to_wet_stream(spark, str(in_dir), out_dir)
+    q.awaitTermination(300)
+    wet = os.path.join(out_dir, "wet")
+    back = read_warc(spark, wet, record_types=("conversion",))
+    assert back.count() == 8
+
+    (in_dir / "seg-1.warc").write_bytes(_segment(range(8, 13)))
+    q2 = start_warc_to_wet_stream(spark, str(in_dir), out_dir)
+    q2.awaitTermination(300)
+    back2 = read_warc(spark, wet, record_types=("conversion",))
+    assert back2.count() == 13
+    assert back2.select("url").distinct().count() == 13
+    files = sorted(os.listdir(wet))
+    assert all(f.startswith("wave-") and ".tmp" not in f for f in files)
