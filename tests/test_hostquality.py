@@ -145,3 +145,42 @@ def test_broadcast_antijoin_plan(spark):
     plan = filter_by_host_quality(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_randomized_aggregate_parity(spark):
+    """Random multi-host corpus: host aggregates must equal a pure fold
+    over the engine's own per-doc quality scores."""
+    import random
+    from collections import defaultdict
+
+    from article_extractor_spark.operators.hostquality import (MICRO,
+                                                               host_quality)
+    from article_extractor_spark.operators.textstats import quality_score
+
+    rng = random.Random(23)
+    words = ("the of and a to in is it you that quick brown fox "
+             "buy now cheap click free").split()
+    rows = []
+    for i in range(150):
+        n = rng.randrange(5, 120)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.3:
+            text += "."
+        rows.append((i, f"http://host{rng.randrange(6)}.test/{i}", text))
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    per_doc = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    want = defaultdict(lambda: [0, 0, 0])
+    for i, url, _ in rows:
+        host = url.split("/")[2]
+        q = round(per_doc[i] * MICRO)
+        want[host][0] += 1
+        want[host][1] += q
+        want[host][2] += int(q < int(0.2 * MICRO))
+    got = {r["host"]: r for r in host_quality(df).collect()}
+    assert set(got) == set(want)
+    for h, (n, qsum, nlow) in want.items():
+        assert got[h]["n_pages"] == n
+        assert got[h]["quality_micro_sum"] == qsum
+        assert got[h]["n_low_quality"] == nlow
+        assert got[h]["mean_quality_micro"] == qsum // n

@@ -148,3 +148,28 @@ def test_compliant_outlinks_nofollow_gate(spark):
     gotb = {(r["src_host"], r["dst_host"]): r["n_links"]
             for r in compliant_outlinks(dfb).collect()}
     assert gotb == got
+
+
+def test_canonical_dedup_randomized_parity(spark):
+    """200 random pages, random canonical declarations: the survivor set
+    must equal a pure-Python min-url fold over the same declarations."""
+    import random
+
+    from article_extractor_spark.operators.htmlmeta import canonical_dedup
+
+    rng = random.Random(17)
+    rows, want = [], {}
+    for i in range(200):
+        url = f"http://h{rng.randrange(8)}.test/p{i}"
+        if rng.random() < 0.6:
+            canon = f"http://h{rng.randrange(8)}.test/c{rng.randrange(30)}"
+            html = page(f'<link rel="canonical" href="{canon}">')
+        else:
+            canon = url  # self-canonical fallback
+            html = page()
+        rows.append((i, url, html))
+        if canon not in want or url < want[canon]:
+            want[canon] = url
+    df = spark.createDataFrame(rows, "id long, url string, html string")
+    got = {r["canonical"]: r["url"] for r in canonical_dedup(df).collect()}
+    assert got == want
