@@ -86,8 +86,14 @@ def main() -> None:
     articles = extract_articles_from_bytes(
         routed["html"], body_col="html", content_type_col="content_type",
         num_partitions=args.partitions).localCheckpoint()
-    articles.write.mode("overwrite").parquet(
-        os.path.join(args.output, "articles"))
+    # bloom filter on url: the downstream point-lookup key (incremental
+    # anti-joins, backfills) skips row groups without reading the column
+    from article_extractor_spark.plans.bloomwrite import write_with_bloom
+
+    n_articles = articles.count()
+    write_with_bloom(
+        articles, os.path.join(args.output, "articles"),
+        {"url": max(1, n_articles // max(1, args.partitions))})
     lineage_metrics(articles, run_id="warc-job").write.mode(
         "overwrite").parquet(os.path.join(args.output, "lineage"))
     n_wet = write_wet_segments(

@@ -110,6 +110,17 @@ def test_full_curation_chain(spark, tmp_path):
     back = read_warc(spark, out, record_types=("conversion",))
     assert back.count() == 2
 
+    # last mile: verified training shards over the curated survivors
+    from article_extractor_spark.plans.shards import (verify_shards,
+                                                     write_training_shards)
+
+    shard_dir = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        deduped.select("url", "text"), shard_dir, n_shards=2,
+        key_col="url")
+    assert manifest["total_rows"] == 2
+    assert verify_shards(spark, shard_dir)["ok"]
+
     # media branch ------------------------------------------------------
     media = routed["image"].select(
         F.xxhash64("url").alias("media_id"),
