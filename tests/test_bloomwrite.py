@@ -49,6 +49,32 @@ def test_bloom_bytes_land_and_lookups_correct(spark, tmp_path):
     assert back.filter(F.col("url") == "http://absent.test/x").count() == 0
 
 
+def test_bloom_prunes_at_read_time(spark, tmp_path):
+    """The filters are CONSULTED by the scan: a point lookup on the
+    bloomed layout reads ~one row group, the plain layout reads the
+    whole table (hash-scattered urls give min/max nothing to exclude)."""
+    from article_extractor_spark.plans.bloomwrite import write_with_bloom
+    from article_extractor_spark.plans.layout import scan_output_rows
+
+    n = 200_000
+    df = spark.range(n).selectExpr("id", "md5(cast(id AS string)) AS url")
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+    write_with_bloom(df.repartition(8), bloomed, {"url": n // 8})
+
+    target = df.filter("id = 12345").collect()[0]["url"]
+    rows_plain = scan_output_rows(
+        spark.read.parquet(plain).filter(F.col("url") == target))
+    rows_bloomed = scan_output_rows(
+        spark.read.parquet(bloomed).filter(F.col("url") == target))
+    assert rows_plain >= n * 0.9
+    assert rows_bloomed <= n // 4          # most groups bloom-excluded
+    assert rows_bloomed * 4 <= rows_plain
+    # identical answers
+    assert spark.read.parquet(bloomed).filter(
+        F.col("url") == target).count() == 1
+
+
 def test_multiple_bloom_columns_and_dictionary_skip(spark, tmp_path):
     from article_extractor_spark.plans.bloomwrite import write_with_bloom
 
