@@ -23,8 +23,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
@@ -83,6 +83,74 @@ def decode_image_any(content: bytes) -> tuple[int, int, int, bytes]:
 
     w, h, n = decode_image_real(content)
     return w, h, n, content
+
+
+def resize_pixels(px: bytes, src_w: int, src_h: int,
+                  dst_w: int, dst_h: int, channels: int = 3) -> bytes:
+    """Exact nearest-neighbor resample: output pixel (x, y) = source
+    pixel (x*src_w//dst_w, y*src_h//dst_h) — integer-deterministic, the
+    formula the tests oracle directly."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(src_h, src_w, channels)
+    ys = (np.arange(dst_h) * src_h) // dst_h
+    xs = (np.arange(dst_w) * src_w) // dst_w
+    return arr[ys][:, xs].tobytes()
+
+
+def resize_images_any(media: DataFrame, max_side: int,
+                      id_col: str = "media_id",
+                      content_col: str = "content") -> DataFrame:
+    """REAL pixel resize (`resize_media`'s planning made concrete):
+    decode any supported image, aspect-preserving nearest-neighbor
+    downscale to ``max_side`` (never upscale — the resize_media rule),
+    re-encode as PNG.  Animations resize their FIRST frame (thumbnail
+    semantics).  One Arrow pass; malformed members degrade to error
+    rows."""
+    import struct
+    import zlib
+
+    from article_extractor_spark.core.png import encode_png
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
+    ])
+
+    def out_dims(w: int, h: int) -> tuple[int, int]:
+        longest = max(w, h)
+        scale = min(1_000_000, (1_000_000 * max_side) // longest)
+        return max(1, (w * scale) // 1_000_000), \
+            max(1, (h * scale) // 1_000_000)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    w, h, n, px = decode_image_any(b)
+                    # per-frame channels: animations concatenate frames
+                    ch = len(px) // (w * h * n) if w * h * n else 0
+                    if ch not in (1, 3):
+                        raise ValueError(f"unsupported channel count {ch}")
+                    dw, dh = out_dims(w, h)
+                    small = resize_pixels(px[:w * h * ch], w, h, dw, dh, ch)
+                    if ch == 1:  # PNG encoder wants RGB; expand gray
+                        small = bytes(v for v in small for _ in range(3))
+                    rows.append((int(mid), dw, dh,
+                                 encode_png(dw, dh, small), None))
+                except (ValueError, NotImplementedError, IndexError,
+                        zlib.error, struct.error, EOFError) as exc:
+                    rows.append((int(mid), None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "content", "error"])
+
+    return media.select(id_col, content_col).mapInPandas(fn, schema)
 
 
 def image_stats_any(media: DataFrame,

@@ -168,3 +168,38 @@ def test_warc_to_extract_e2e(spark, tmp_path):
     assert "plain utf-8 words here" in out["http://w.test/utf8"]
     assert "’quotes’" in out["http://w.test/cp1252"]
     assert "café" in out["http://w.test/cp1252"]
+
+
+def test_resize_images_any(spark):
+    """Real nearest-neighbor resize: output pixels follow the exact
+    integer sampling formula, aspect preserved, never upscaled, GIF
+    animations resize their first frame, errors degrade."""
+    from article_extractor_spark.core.png import decode_png
+    from article_extractor_spark.operators.media_ext import (
+        resize_images_any, resize_pixels)
+
+    # formula oracle for the pure kernel
+    src = bytes((x * 7 + y * 13 + c) % 256
+                for y in range(10) for x in range(8) for c in range(3))
+    out = resize_pixels(src, 8, 10, 4, 5)
+    for y in range(5):
+        for x in range(4):
+            sx, sy = (x * 8) // 4, (y * 10) // 5
+            assert out[3 * (y * 4 + x):3 * (y * 4 + x) + 3] == \
+                src[3 * (sy * 8 + sx):3 * (sy * 8 + sx) + 3]
+
+    big_png = encode_png(16, 8, bytes((i * 3) % 256
+                                      for i in range(16 * 8 * 3)))
+    small_png = encode_png(4, 4, bytes(48))
+    anim = encode_gif(6, 4, [bytes((k + i) % 4 for i in range(24))
+                             for k in range(3)], PAL4)
+    rows = [(1, big_png), (2, small_png), (3, anim), (4, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r
+           for r in resize_images_any(df, max_side=8).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 4)  # aspect kept
+    w, h, _ch, px = decode_png(bytes(got[1]["content"]))
+    assert (w, h) == (8, 4) and len(px) == 8 * 4 * 3
+    assert (got[2]["width"], got[2]["height"]) == (4, 4)  # never upscaled
+    assert (got[3]["width"], got[3]["height"]) == (6, 4)  # first frame
+    assert got[4]["error"] is not None
