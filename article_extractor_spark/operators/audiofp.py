@@ -97,6 +97,69 @@ def audio_fingerprint(media: DataFrame, id_col: str = "media_id",
     return media.select(id_col, content_col).mapInPandas(fn, FP_SCHEMA)
 
 
+def resample_wav(content: bytes, target_rate: int) -> bytes:
+    """Exact nearest-neighbor sample-rate conversion for 16-bit mono PCM
+    WAV: output sample i = input sample ``i * src_rate // dst_rate`` —
+    integer-deterministic (the image-resize formula in one dimension).
+    Output length = ``n_src * dst_rate // src_rate``."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as r:
+        if r.getsampwidth() != 2 or r.getnchannels() != 1:
+            raise ValueError("need 16-bit mono PCM")
+        src_rate = r.getframerate()
+        n = r.getnframes()
+        raw = r.readframes(n)
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+    samples = np.frombuffer(raw, dtype="<i2")
+    n_out = (n * target_rate) // src_rate
+    idx = (np.arange(n_out, dtype=np.int64) * src_rate) // target_rate
+    out = samples[idx].astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(target_rate)
+        w.writeframes(out)
+    return buf.getvalue()
+
+
+def resample_audio(media: DataFrame, target_rate: int,
+                   id_col: str = "media_id",
+                   content_col: str = "content") -> DataFrame:
+    """One Arrow pass: WAV bytes -> rate-normalized WAV bytes (the
+    uniform-sample-rate step before fingerprinting or feature
+    extraction); malformed members degrade to error rows."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    out = resample_wav(b, target_rate)
+                    with wave.open(io.BytesIO(out), "rb") as r:
+                        n = r.getnframes()
+                    rows.append((int(mid), n, out, None))
+                except (ValueError, EOFError, wave.Error,
+                        struct.error) as exc:
+                    rows.append((int(mid), None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "content", "error"])
+
+    return media.select(id_col, content_col).mapInPandas(fn, schema)
+
+
 def audio_near_dups(fingerprints: DataFrame, max_hamming: int = 3,
                     n_bits: int = 32,
                     bucket_cap: int | None = None) -> DataFrame:

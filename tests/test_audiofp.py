@@ -135,3 +135,50 @@ def test_distributed_fingerprint_and_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              audio_near_dups(fps, max_hamming=budget).collect()}
     assert (1, 2) in pairs and pairs == want
+
+
+def test_resample_formula_and_identity():
+    """Nearest-neighbor resample: exact index formula, identity at the
+    same rate, halving keeps every other sample."""
+    from article_extractor_spark.operators.audiofp import resample_wav
+
+    samples = list(range(-500, 500, 7))
+    src = wav_bytes(samples, rate=8000)
+    same = resample_wav(src, 8000)
+    import io as _io
+    import wave as _wave
+
+    def read(b):
+        with _wave.open(_io.BytesIO(b), "rb") as r:
+            return (r.getframerate(),
+                    struct.unpack(f"<{r.getnframes()}h",
+                                  r.readframes(r.getnframes())))
+
+    assert read(same) == (8000, tuple(samples))
+    rate, got = read(resample_wav(src, 4000))
+    assert rate == 4000
+    assert got == tuple(samples[i * 2] for i in range(len(samples) // 2))
+    rate, up = read(resample_wav(src, 16000))
+    assert rate == 16000 and len(up) == len(samples) * 2
+    assert up[:4] == (samples[0], samples[0], samples[1], samples[1])
+
+
+def test_resample_distributed_then_fingerprint(spark):
+    """The normalize-then-fingerprint chain: mixed-rate clips resample
+    to one rate and fingerprint without error rows."""
+    from article_extractor_spark.operators.audiofp import (audio_fingerprint,
+                                                           resample_audio)
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = [(i, wav_bytes([rng.randint(-5000, 5000)
+                           for _ in range(1000 + i * 100)],
+                          rate=8000 * (1 + i % 3)))
+            for i in range(12)] + [(99, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    norm = resample_audio(df, 8000)
+    ok = norm.filter("error IS NULL")
+    assert ok.count() == 12
+    assert norm.filter("error IS NOT NULL").count() == 1
+    fps = audio_fingerprint(ok.select("media_id", "content"))
+    assert fps.filter("error IS NULL").count() == 12
