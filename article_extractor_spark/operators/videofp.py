@@ -87,6 +87,64 @@ def video_fingerprint(media: DataFrame, id_col: str = "media_id",
     return media.select(id_col, content_col).mapInPandas(fn, VIDEO_FP_SCHEMA)
 
 
+def resample_y4m(content: bytes, target_fps: tuple[int, int]) -> bytes:
+    """Exact temporal nearest-neighbor resample for Y4M: output frame j
+    shows the input frame at the same timestamp — index =
+    ``j * src_num * dst_den // (src_den * dst_num)`` (pure integer
+    rational math, no floats).  Output duration matches the input's
+    (``n_out = ceil(n_src * dst_fps / src_fps)``); planes are copied
+    verbatim, so picked frames are bit-identical."""
+    from article_extractor_spark.core.y4m import decode_y4m, encode_y4m
+
+    width, height, (sn, sd), cs, frames = decode_y4m(content)
+    dn, dd = target_fps
+    if dn <= 0 or dd <= 0:
+        raise ValueError("target fps must be positive")
+    n_src = len(frames)
+    # duration = n_src * sd / sn seconds; n_out = ceil(duration * dn/dd)
+    n_out = -(-(n_src * sd * dn) // (sn * dd)) if n_src else 0
+    out = []
+    for j in range(n_out):
+        idx = (j * sn * dd) // (sd * dn)
+        out.append(frames[min(idx, n_src - 1)])
+    return encode_y4m(width, height, out, fps=(dn, dd), colourspace=cs)
+
+
+def resample_video(media: DataFrame, target_fps: tuple[int, int],
+                   id_col: str = "media_id",
+                   content_col: str = "content") -> DataFrame:
+    """One Arrow pass: Y4M bytes -> fps-normalized Y4M bytes (the
+    uniform-frame-rate step before temporal fingerprinting); malformed
+    members degrade to error rows."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    out = resample_y4m(b, target_fps)
+                    from article_extractor_spark.core.y4m import decode_y4m
+
+                    nf = len(decode_y4m(out)[4])
+                    rows.append((int(mid), nf, out, None))
+                except (ValueError, IndexError) as exc:
+                    rows.append((int(mid), None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_frames", "content", "error"])
+
+    return media.select(id_col, content_col).mapInPandas(fn, schema)
+
+
 def video_near_dups(fingerprints: DataFrame, max_hamming: int = 3,
                     n_bits: int = 32,
                     bucket_cap: int | None = None) -> DataFrame:

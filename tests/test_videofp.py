@@ -101,3 +101,47 @@ def test_distributed_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              video_near_dups(fps, max_hamming=budget).collect()}
     assert (1, 2) in pairs and pairs == want
+
+
+def test_temporal_resample_exact():
+    """Rational-exact frame selection: halving fps keeps every other
+    frame bit-identical; doubling duplicates; identity is a no-op on
+    frame content; duration preserved."""
+    from article_extractor_spark.core.y4m import decode_y4m
+    from article_extractor_spark.operators.videofp import resample_y4m
+
+    levels = list(range(0, 240, 10))  # 24 distinct frames
+    src = clip(levels)  # encoded at default 25:1 fps
+
+    def frames_of(b):
+        return decode_y4m(b)[4]
+
+    same = resample_y4m(src, (25, 1))
+    assert frames_of(same) == frames_of(src)
+
+    half = resample_y4m(src, (25, 2))  # 12.5 fps: every other frame
+    got = frames_of(half)
+    want = [frames_of(src)[(j * 25 * 2) // 25] for j in range(len(got))]
+    assert got == want and len(got) == 12
+
+    dbl = resample_y4m(src, (50, 1))
+    gd = frames_of(dbl)
+    assert len(gd) == 48
+    assert gd[0] == gd[1] == frames_of(src)[0]
+    assert gd[2] == gd[3] == frames_of(src)[1]
+
+
+def test_resample_distributed_then_fingerprint(spark):
+    from article_extractor_spark.operators.videofp import (resample_video,
+                                                           video_fingerprint)
+
+    rng = random.Random(41)
+    rows = [(i, clip([rng.randint(0, 255) for _ in range(20 + i)]))
+            for i in range(8)] + [(99, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    norm = resample_video(df, (10, 1))
+    ok = norm.filter("error IS NULL")
+    assert ok.count() == 8
+    assert norm.filter("error IS NOT NULL").count() == 1
+    fps = video_fingerprint(ok.select("media_id", "content"))
+    assert fps.filter("error IS NULL").count() == 8
