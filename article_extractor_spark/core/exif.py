@@ -123,10 +123,15 @@ def parse_exif(data: bytes) -> dict:
     # Normalize every malformation class to ExifError so the Arrow
     # operator's single except clause holds: degenerate entries raise
     # struct.error (short buffers), type-confused tags raise TypeError
-    # (a GPS coordinate stored as a scalar reaching the DMS fold).
+    # (a GPS coordinate stored as a scalar reaching the DMS fold) or
+    # bare ValueError (a coordinate stored as ASCII: iterating the
+    # string unpacks 1-char items — found by the bit-flip fuzz).
     try:
         return _parse_tiff(payload)
-    except (struct.error, TypeError, IndexError, OverflowError) as exc:
+    except ExifError:
+        raise
+    except (struct.error, TypeError, IndexError, OverflowError,
+            ValueError) as exc:
         raise ExifError(f"malformed EXIF: {type(exc).__name__}: {exc}") \
             from exc
 

@@ -249,3 +249,54 @@ def test_fingerprint_garbage_fails_clean(data):
         assert n >= 0 and nf >= 0 and fp >= 0
     except (ValueError, EOFError, wave.Error, struct.error):
         pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-9000, max_value=9000),
+                min_size=1, max_size=600),
+       st.sampled_from([4000, 8000, 16000, 44100]),
+       st.sampled_from([4000, 8000, 11025, 16000]))
+def test_resample_wav_properties(samples, src_rate, dst_rate):
+    """Resample: output length follows the exact formula, identity at
+    equal rates, and every output sample exists in the input."""
+    import io
+    import struct
+    import wave
+
+    from article_extractor_spark.operators.audiofp import resample_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(src_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = resample_wav(buf.getvalue(), dst_rate)
+    with wave.open(io.BytesIO(out), "rb") as r:
+        assert r.getframerate() == dst_rate
+        got = struct.unpack(f"<{r.getnframes()}h",
+                            r.readframes(r.getnframes()))
+    assert len(got) == (len(samples) * dst_rate) // src_rate
+    for j, v in enumerate(got):
+        assert v == samples[(j * src_rate) // dst_rate]
+    if src_rate == dst_rate:
+        assert got == tuple(samples)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_resample_garbage_fails_clean(data):
+    import struct
+    import wave
+
+    from article_extractor_spark.operators.audiofp import resample_wav
+    from article_extractor_spark.operators.videofp import resample_y4m
+
+    try:
+        resample_wav(data, 8000)
+    except (ValueError, EOFError, wave.Error, struct.error):
+        pass
+    try:
+        resample_y4m(data, (10, 1))
+    except (ValueError, IndexError):
+        pass
