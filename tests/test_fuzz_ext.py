@@ -300,3 +300,16 @@ def test_resample_garbage_fails_clean(data):
         resample_y4m(data, (10, 1))
     except (ValueError, IndexError):
         pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_media_scrub_idempotent_never_grows(data):
+    """strip_media_metadata on arbitrary bytes: never raises, never
+    grows the payload, and is idempotent (scrubbing a scrubbed payload
+    is a no-op) — the safety contract of a blind corpus-wide pass."""
+    from article_extractor_spark.core.mediameta import strip_media_metadata
+
+    once = strip_media_metadata(data)
+    assert len(once) <= len(data) or once == data
+    assert strip_media_metadata(once) == once
