@@ -57,7 +57,8 @@ def _segments(data: bytes):
         if data[pos] != 0xFF:
             raise ExifError(f"bad marker alignment at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI
+        if marker == 0xD9:  # EOI: yield it (and any trailer) verbatim
+            yield marker, pos, len(data)
             return
         if marker == 0xDA:  # SOS: entropy data follows, stop walking
             yield marker, pos, len(data)
@@ -67,6 +68,10 @@ def _segments(data: bytes):
             raise ExifError("truncated segment")
         yield marker, pos, pos + 2 + ln
         pos += 2 + ln
+    if pos < len(data):
+        # <4 bytes left: not a walkable segment, but the strip contract
+        # promises every non-Exif byte passes through verbatim
+        yield None, pos, len(data)
 
 
 def _read_ifd(tiff: bytes, offset: int, bo: str) -> dict[int, object]:

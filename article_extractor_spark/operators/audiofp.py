@@ -110,6 +110,11 @@ def resample_wav(content: bytes, target_rate: int) -> bytes:
         src_rate = r.getframerate()
         n = r.getnframes()
         raw = r.readframes(n)
+    if src_rate <= 0:
+        # wave.open accepts a header with rate 0; dividing by it below
+        # would raise ZeroDivisionError, which resample_audio's error
+        # contract (ValueError family -> error row) does not cover
+        raise ValueError("source sample rate must be positive")
     if target_rate <= 0:
         raise ValueError("target_rate must be positive")
     samples = np.frombuffer(raw, dtype="<i2")

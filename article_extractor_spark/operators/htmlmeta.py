@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 # any quoting, any case; the head is taken as the first 4096 chars (the
 # WHATWG prescan convention core/charset.py also follows, scaled up)
 _META_NAME_FIRST = (
-    r'(?i)<meta\s[^>]*name\s*=\s*["\']?robots["\']?[\s>][^>]*'
+    r'(?i)<meta\s[^>]*name\s*=\s*["\']?robots["\']?\s[^>]*'
     r'content\s*=\s*["\']?([^"\'>]*)')
 # content-first order needs the quoted and unquoted forms separately: a
 # single optional-quote + lazy-capture pattern truncates a multi-token
@@ -38,7 +38,7 @@ _META_CONTENT_FIRST_U = (
     r'(?i)<meta\s[^>]*content\s*=\s*([^"\'>\s]+)[^>]*'
     r'name\s*=\s*["\']?robots["\'\s>]')
 _CANONICAL = (
-    r'(?i)<link\s[^>]*rel\s*=\s*["\']?canonical["\']?[\s>][^>]*'
+    r'(?i)<link\s[^>]*rel\s*=\s*["\']?canonical["\']?\s[^>]*'
     r'href\s*=\s*["\']?([^"\'>\s]+)')
 _CANONICAL_HREF_FIRST_Q = (
     r'(?i)<link\s[^>]*href\s*=\s*["\']([^"\'>\s]+)["\'][^>]*'

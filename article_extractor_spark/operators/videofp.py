@@ -100,6 +100,11 @@ def resample_y4m(content: bytes, target_fps: tuple[int, int]) -> bytes:
     dn, dd = target_fps
     if dn <= 0 or dd <= 0:
         raise ValueError("target fps must be positive")
+    if sn <= 0 or sd <= 0:
+        # decode_y4m accepts an F0:1 header; the ceil-division below
+        # would raise ZeroDivisionError, uncaught by resample_video's
+        # (ValueError, IndexError) error-row contract
+        raise ValueError("source fps must be positive")
     n_src = len(frames)
     # duration = n_src * sd / sn seconds; n_out = ceil(duration * dn/dd)
     n_out = -(-(n_src * sd * dn) // (sn * dd)) if n_src else 0

@@ -182,3 +182,24 @@ def test_resample_distributed_then_fingerprint(spark):
     assert norm.filter("error IS NOT NULL").count() == 1
     fps = audio_fingerprint(ok.select("media_id", "content"))
     assert fps.filter("error IS NULL").count() == 12
+
+
+def test_zero_sample_rate_raises_valueerror_not_zerodivision():
+    """ADVICE r5: a WAV header with frame rate 0 (accepted by wave's
+    reader) must raise ValueError — resample_audio's error-row contract
+    catches ValueError, not ZeroDivisionError."""
+    import struct
+
+    import pytest
+
+    from article_extractor_spark.operators.audiofp import resample_wav
+
+    # hand-build a minimal 16-bit mono PCM WAV with sample rate 0
+    # (wave.open WRITER forbids rate 0, so build the bytes directly)
+    n = 4
+    data = struct.pack("<%dh" % n, *([0] * n))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    with pytest.raises(ValueError):
+        resample_wav(hdr, 8000)

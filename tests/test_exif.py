@@ -142,3 +142,20 @@ def test_degenerate_ifd_entries_raise_exif_error_only():
                + seg + base[2:])
         with pytest.raises(ExifError):
             parse_exif(jpg)
+
+
+def test_strip_preserves_eoi_and_trailer_on_degenerate_jpeg():
+    """ADVICE r5: a JPEG with no SOS (SOI + APP1(Exif) + EOI [+ trailer])
+    must keep its EOI marker and trailing bytes through strip_exif —
+    'every other byte passes through verbatim'."""
+    import struct
+
+    from article_extractor_spark.core.exif import EXIF_HEADER, strip_exif
+
+    app1_payload = EXIF_HEADER + b"II*\x00\x08\x00\x00\x00\x00\x00"
+    app1 = b"\xFF\xE1" + struct.pack(">H", 2 + len(app1_payload)) + app1_payload
+    com = b"\xFF\xFE" + struct.pack(">H", 7) + b"hello"
+    for trailer in (b"", b"\x01\x02"):
+        data = b"\xFF\xD8" + app1 + com + b"\xFF\xD9" + trailer
+        out = strip_exif(data)
+        assert out == b"\xFF\xD8" + com + b"\xFF\xD9" + trailer

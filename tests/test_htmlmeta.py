@@ -173,3 +173,37 @@ def test_canonical_dedup_randomized_parity(spark):
     df = spark.createDataFrame(rows, "id long, url string, html string")
     got = {r["canonical"]: r["url"] for r in canonical_dedup(df).collect()}
     assert got == want
+
+
+def test_attributeless_robots_tag_does_not_steal_next_tags_content(spark):
+    """ADVICE r5: <meta name="robots"> with no content attribute must not
+    capture a content= from a FOLLOWING tag (the old [\\s>] consumed the
+    closing '>' and matched across tag boundaries)."""
+    from article_extractor_spark.operators.htmlmeta import robots_directives
+
+    html = page('<meta name="robots">'
+                '<meta content="noindex tips here" name="description">')
+    df = spark.createDataFrame([(1, "http://a.test/x", html)],
+                               "id long, url string, html string")
+    row = robots_directives(df).collect()[0]
+    assert row["robots_meta"] == ""
+    assert row["noindex"] == 0 and row["nofollow"] == 0
+    # the real thing still matches
+    html2 = page('<meta name="robots" content="noindex">')
+    df2 = spark.createDataFrame([(1, "http://a.test/x", html2)],
+                                "id long, url string, html string")
+    row2 = robots_directives(df2).collect()[0]
+    assert row2["noindex"] == 1
+
+
+def test_attributeless_canonical_link_does_not_steal_next_href(spark):
+    """Same cross-tag defect class for <link rel="canonical"> with no
+    href: must fall back to the page url, not a later tag's href."""
+    from article_extractor_spark.operators.htmlmeta import canonical_url
+
+    html = page('<link rel="canonical">'
+                '<link href="http://evil.test/steal" rel="stylesheet">')
+    df = spark.createDataFrame([(1, "http://a.test/x", html)],
+                               "id long, url string, html string")
+    row = canonical_url(df).collect()[0]
+    assert row["canonical"] == "http://a.test/x"

@@ -145,3 +145,18 @@ def test_resample_distributed_then_fingerprint(spark):
     assert norm.filter("error IS NOT NULL").count() == 1
     fps = video_fingerprint(ok.select("media_id", "content"))
     assert fps.filter("error IS NULL").count() == 8
+
+
+def test_zero_fps_header_raises_valueerror_not_zerodivision():
+    """ADVICE r5: an F0:1 Y4M header (fps numerator 0) must raise
+    ValueError from resample_y4m — resample_video's error-row contract
+    catches (ValueError, IndexError), not ZeroDivisionError."""
+    import pytest
+
+    from article_extractor_spark.operators.videofp import resample_y4m
+
+    w, h = 4, 2
+    frame = b"FRAME\n" + bytes(w * h) + bytes(w * h) + bytes(w * h)
+    y4m = (b"YUV4MPEG2 W4 H2 F0:1 C444\n" + frame)
+    with pytest.raises(ValueError):
+        resample_y4m(y4m, (5, 1))
