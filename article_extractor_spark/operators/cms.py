@@ -28,11 +28,19 @@ WIDTH = 64
 def _tokens(df: DataFrame, text_col: str) -> DataFrame:
     """The one tokenize pipeline every pass in this module shares —
     sketch build, true counts, and heavy-hitter recount MUST agree on
-    what a token is or the est>=true / exact-set invariants break."""
-    return (df.select(F.explode(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
-        .alias("token"))
-        .where(F.col("token") != ""))
+    what a token is or the est>=true / exact-set invariants break.
+
+    Single-split inputs are fanned out first: the explode+md5 work
+    otherwise runs on one core until the first exchange (no-op on real
+    multi-split tables)."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    return (ensure_min_partitions(df.select(text_col))
+            .select(F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+"))
+                .alias("token"))
+            .where(F.col("token") != ""))
 
 
 def _bucket_expr(row: int, token_expr: str, width: int = WIDTH) -> str:
@@ -104,23 +112,42 @@ def cms_point_query(df: DataFrame, probes: list[str],
 def heavy_hitters(df: DataFrame, threshold: int,
                   text_col: str = "text",
                   d: int = D_ROWS, width: int = WIDTH) -> DataFrame:
-    """Exact heavy hitters (token, cnt with cnt >= threshold) WITHOUT a
-    full-vocabulary shuffle — the canonical Count-Min deployment shape:
+    """Exact heavy hitters (token, cnt with cnt >= threshold), sketch-
+    gated:
 
-    1. build the d*width-counter sketch (one scan, <= d*width rows),
-    2. collect it driver-side and turn it into a LITERAL lookup array,
-       so every token's estimate is a pure projection (least of d
-       element_at's — zero shuffle, zero join),
-    3. exact-count ONLY the tokens whose estimate clears the threshold.
+    1. aggregate per-token counts once (the canonical map-side-combined
+       word count — the corpus is tokenized exactly once),
+    2. rebuild the d*width-counter sketch from those counts (identical
+       counters: sum of per-token counts per (row, bucket) == count of
+       instances per counter), collect it driver-side and turn it into
+       a LITERAL lookup array, so every token's estimate is a pure
+       projection (least of d element_at's — zero shuffle, zero join),
+    3. keep only tokens whose estimate AND exact count clear the
+       threshold.
 
-    Because est >= true for every token (collisions only inflate), step
-    2 can never drop a true heavy hitter; step 3's HAVING removes the
-    false positives.  The output is therefore EXACTLY the true heavy-
-    hitter set — the oracle is a plain GROUP BY/HAVING, and any sketch
-    bug that loses mass breaks the value match.  At 100 TB the final
-    groupBy shuffles only the heavy tail (stopword-scale vocabulary),
-    not the corpus vocabulary."""
-    sketch = cms_build(df, text_col=text_col, d=d, width=width)
+    Because est >= true for every token (collisions only inflate), the
+    estimate gate can never drop a true heavy hitter; the HAVING
+    removes the false positives.  The output is therefore EXACTLY the
+    true heavy-hitter set — the oracle is a plain GROUP BY/HAVING, and
+    any sketch bug that loses mass breaks the value match.  At 100 TB
+    the vocabulary exchange ships per-partition partial counts (not
+    token instances), and the md5 counter hashing — formerly 8
+    evaluations per token INSTANCE, the dominant corpus-scan CPU —
+    runs once per distinct token."""
+    # cached: the vocabulary table feeds the sketch build AND the gated
+    # output below
+    counts = (_tokens(df, text_col)
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+              .cache())
+    pairs = ", ".join(
+        f"struct({r} AS row, {_bucket_expr(r, 'token', width)} AS bucket)"
+        for r in range(d))
+    sketch = (counts
+              .select("cnt", F.explode(F.expr(f"array({pairs})")).alias("rb"))
+              .groupBy(F.col("rb.row").alias("row"),
+                       F.col("rb.bucket").alias("bucket"))
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
     flat = [0] * (d * width)
     for r in sketch.collect():
         flat[int(r["row"]) * width + int(r["bucket"])] = int(r["cnt"])
@@ -129,8 +156,6 @@ def heavy_hitters(df: DataFrame, threshold: int,
         f"element_at(array({arr}), cast({r * width} + "
         f"({_bucket_expr(r, 'token', width)}) + 1 as int))"
         for r in range(d)) + ")"
-    survivors = (_tokens(df, text_col)
-                 .where(F.expr(est) >= F.lit(int(threshold))))
-    return (survivors.groupBy("token")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return (counts
+            .where(F.expr(est) >= F.lit(int(threshold)))
             .where(F.col("cnt") >= F.lit(int(threshold))))

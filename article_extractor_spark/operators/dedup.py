@@ -696,8 +696,13 @@ def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (boilerplate guard, same role as the jaccard hot-shingle cap), and
     one span-keyed equi-join with map-side-combined pair counting.
     Emits (a_id, b_id, n_shared_spans)."""
+    # cache: the deduped (doc, span) postings feed the hot-span census
+    # and BOTH sides of the span self-join — uncached, every consumer
+    # re-executes the Arrow winnow over the whole corpus (the plan
+    # showed 4 MapInPandas subtrees for one logical pass; same persist
+    # rationale as minhash_lsh_pairs' bands)
     spans = (winnowed_span_positions(df, text_col, id_col, k, window)
-             .select(id_col, "span").distinct())
+             .select(id_col, "span").distinct().cache())
     hot = (spans.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
            .where(F.col("_df") > max_span_df).select("span"))
     posts = spans.join(hot, "span", "left_anti")

@@ -36,7 +36,13 @@ def kmv_distinct_tokens(df: DataFrame, text_col: str = "text",
     estimate IS the exact count (standard KMV small-range rule)."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # single-split inputs serialize the tokenize+md5 projection on one
+    # core (the minhash fan-out rationale; no-op on real multi-split
+    # tables)
+    toks = ensure_min_partitions(
+        df.select(group_col, text_col)).select(
         F.coalesce(F.col(group_col), F.lit("src0")).alias("grp"),
         F.explode(F.expr(
             f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
@@ -48,6 +54,12 @@ def kmv_distinct_tokens(df: DataFrame, text_col: str = "text",
             F.expr("cast(conv(substr(md5(tok), 1, 12), 16, 10) as bigint)")
             .alias("h"))
         .distinct()  # map-side partial agg dedups before the shuffle
+        # cache: the deduped (grp, h) set feeds THREE consumers (exact
+        # counts, the top-k sketch, the __all__ exact count) — uncached,
+        # each one re-tokenizes and re-hashes the whole corpus (3 scans
+        # -> 1; the per-group distinct set is orders smaller than the
+        # token stream, the standard sketch-input persist)
+        .cache()
     )
     exact = hashes.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
@@ -122,25 +134,40 @@ def hll_distinct_tokens(df: DataFrame, text_col: str = "text",
     with map-side partial max.  The ``__all__`` row folds the per-group
     register tables (max per bucket), never re-reading the corpus:
     HLL's lossless-union property."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
     m = 1 << p
     rho_bits = 60 - p  # bits remaining after the bucket index
-    toks = df.select(
+    # fan out single-split inputs ahead of the tokenize+md5 projection
+    # (same rationale as kmv; no-op on real multi-split tables)
+    toks = ensure_min_partitions(
+        df.select(group_col, text_col)).select(
         F.coalesce(F.col(group_col), F.lit("src0")).alias("grp"),
         F.explode(F.expr(
             f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
             "t -> t <> '')")).alias("tok"),
     )
     h = "cast(conv(substr(md5(concat('hll', ':', tok)), 1, 15), 16, 10) as bigint)"
-    hashed = toks.select(
+    # project the 60-bit hash ONCE, then derive (bucket, w) from the
+    # column: CollapseProject keeps non-cheap expressions un-duplicated,
+    # so each token is md5-hashed a single time (the fused form computed
+    # the full md5+conv chain once per derived column)
+    hashed = toks.select("grp", F.expr(h).alias("_h60")).select(
         "grp",
-        F.expr(f"pmod({h}, {m})").cast("int").alias("bucket"),
-        F.expr(f"({h}) div {m}").alias("w"),
+        F.expr(f"pmod(_h60, {m})").cast("int").alias("bucket"),
+        F.expr(f"_h60 div {m}").alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(rho_bits + 1)).otherwise(
         F.lit(rho_bits + 1) - F.length(F.expr("bin(w)"))).cast("int")
+    # cache: the per-group register table (<= m rows per group) feeds
+    # both the output rows and the __all__ fold below — uncached, the
+    # union's second branch re-reads and re-hashes the whole corpus
+    # (the docstring's "never re-reading the corpus" promise was only
+    # true of the code, not the executed plan: 2 scans -> 1)
     regs = (hashed.select("grp", "bucket", rho.alias("rho"))
             .groupBy("grp", "bucket")
-            .agg(F.max("rho").alias("register")))
+            .agg(F.max("rho").alias("register"))
+            .cache())
     all_regs = (regs.groupBy("bucket")
                 .agg(F.max("register").alias("register"))
                 .select(F.lit("__all__").alias("grp"), "bucket", "register"))
