@@ -1337,8 +1337,12 @@ def q_e2e_curation(spark, sf_dir):
 
     tmp = _build_e2e_warc(sf_dir)
     pages = read_warc(spark, tmp)
+    # partition count scales with the session's task slots (16 was a
+    # fixed fraction of the 32-core box; per-row extraction output is
+    # partitioning-independent)
     arts = extract_articles(pages, config_broadcast=_configs(spark),
-                            num_partitions=16)
+                            num_partitions=max(
+                                16, 4 * spark.sparkContext.defaultParallelism))
     rid = (F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
            + F.when(F.col("url").contains("-m.example.com"),
                     F.lit(E2E_MIRROR_OFFSET)).otherwise(F.lit(0)))
@@ -1446,9 +1450,13 @@ def q_to_markdown(spark, sf_dir):
     from article_extractor_spark.operators.extract import extract_articles
     from article_extractor_spark.operators.render import markdown_stats
 
+    # partition count scales with the session's task slots (16 was a
+    # fixed fraction of the 32-core box; per-row extraction output is
+    # partitioning-independent)
     arts = extract_articles(_pages(spark, sf_dir),
                             config_broadcast=_configs(spark),
-                            num_partitions=16)
+                            num_partitions=max(
+                                16, 4 * spark.sparkContext.defaultParallelism))
     return markdown_stats(
         arts.select("url", F.coalesce(F.col("text"), F.lit("")).alias("text")))
 

@@ -35,6 +35,11 @@ def _features(df: DataFrame, text_col: str = "text",
     # classifier_score / bm25 / cms — '' from split('') is not a token
     toks = (f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
             "t -> t <> '')")
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # single-split inputs serialize the tokenize projection on one core
+    # (no-op on real multi-split tables)
+    df = ensure_min_partitions(df)
     return df.select(
         F.expr(f"CASE WHEN {lang_col} = 'en' THEN 1 ELSE -1 END")
         .cast("bigint").alias("y"),

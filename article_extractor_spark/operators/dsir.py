@@ -41,7 +41,12 @@ def dsir_weights(df: DataFrame, target_lang: str = "en",
     """(doc_id, n_grams, logweight_micro): per-document importance
     weight ln P_target(doc)/P_raw(doc) in exact 1e-6 micro-units under
     the hashed-bigram models; docs with < 2 tokens weigh (0, 0)."""
-    base = df.select(
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # single-split inputs serialize the bigram explode + md5 projection
+    # on one core (no-op on real multi-split tables)
+    base = ensure_min_partitions(
+        df.select(id_col, lang_col, text_col)).select(
         F.col(id_col),
         (F.col(lang_col) == F.lit(target_lang)).alias("is_t"),
         F.expr(f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
@@ -53,8 +58,12 @@ def dsir_weights(df: DataFrame, target_lang: str = "en",
             "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).alias("g"),
     ).select(id_col, "is_t",
              F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    # cache: the bucketed bigram stream feeds the model-count aggregate
+    # AND the per-doc scoring join — uncached, the corpus-wide explode +
+    # md5 pass executes twice
     grams = grams.select(id_col, "is_t",
-                         F.expr(_BUCKET.format(b=n_buckets)).alias("bucket"))
+                         F.expr(_BUCKET.format(b=n_buckets)).alias("bucket")
+                         ).cache()
 
     # localCheckpoint: the <= n_buckets-row table feeds the totals
     # collect AND the broadcast join below — without it the corpus-wide

@@ -41,8 +41,13 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     summation (NOTES.md oracle policy); the final division is IEEE-exact
     on both engines, so the result is bit-identical to the DuckDB
     oracle regardless of partition order."""
-    base = df.select(F.col(id_col),
-                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # single-split inputs serialize the tokenize/explode projections on
+    # one core (no-op on real multi-split tables)
+    base = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
     words = base.select(
         id_col,
         F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')")
@@ -56,6 +61,10 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
             "transform(sequence(0, size(w) - 2), "
             "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # cache: the bigram stream feeds the pair counts, the left-context
+    # counts AND the scoring join — uncached, the corpus-wide explode
+    # executes three times
+    bigr = bigr.cache()
     bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     wt = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (

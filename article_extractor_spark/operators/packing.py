@@ -35,10 +35,15 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     are concatenated in ``id_col`` order and chunked into ``ctx_len``-token
     packs; a doc spans packs [pack_first, pack_last].  Zero-token docs
     (empty text) are excluded — they occupy no pack space."""
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
     n_tokens = F.size(F.expr(
         f"regexp_extract_all(coalesce({text_col}, ''), '{TOKEN_RE}', 0)"
     )).cast("long")
-    toks = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    # single-split inputs serialize the regex token count on one core
+    # (no-op on real multi-split tables)
+    toks = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col), n_tokens.alias("n_tokens"))
     return pack_counts(toks, id_col=id_col, ctx_len=ctx_len,
                        num_buckets=num_buckets)
 
@@ -51,9 +56,14 @@ def pack_counts(toks: DataFrame, id_col: str = "doc_id",
     column — the budget source can be the regex count, real BPE counts
     (:func:`article_extractor_spark.operators.tokenizer.bpe_token_counts`),
     or anything else exact-integer."""
+    # cache: the counted table feeds the max-id collect, the bucket
+    # totals AND the output projection — uncached, the upstream count
+    # lineage (a regex pass here, a full BPE tokenize for pack_bpe /
+    # e2e_curation) executes three times
     toks = (toks.select(F.col(id_col),
                         F.col(count_col).cast("long").alias("n_tokens"))
-            .where(F.col("n_tokens") > 0))
+            .where(F.col("n_tokens") > 0)
+            .cache())
 
     # order-preserving range bucketing: bucket asc, id asc == global id order
     hi = toks.agg(F.max(id_col).alias("m")).collect()[0]["m"]

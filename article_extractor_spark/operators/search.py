@@ -44,8 +44,13 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     scalar aggregates of that compact per-doc table; idf becomes a
     constant-folded literal expression, and the global top-k is
     TakeOrderedAndProject."""
-    base = df.select(F.col(id_col),
-                     F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # single-split inputs serialize the tokenize+explode groupBy on one
+    # core (no-op on real multi-split tables)
+    base = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
     toks = base.select(
         id_col,
         F.explode(F.expr("filter(split(lower(_t), '\\\\s+'), t -> t <> '')"))
