@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG (ITU-T T.81) grayscale encoder/decoder.
+"""Baseline JPEG (ITU-T T.81) grayscale encoder/decoder.
 
 Mirrors the approach of :mod:`article_extractor_spark.core.png`: a REAL
 codec (marker parsing, canonical Huffman tables, DC prediction, AC
@@ -14,12 +14,21 @@ JPEG is lossy in general; the companion driver query feeds it images made
 of constant 8x8 blocks and a quantization table whose DC step (8) exactly
 matches the DCT's DC gain, so the roundtrip is bit-exact and formula-
 oracle-able — while the codec itself stays fully general baseline.
+
+The per-block hot paths (DCT/IDCT, quantize, color conversion, plane
+(de)blocking) are numpy-vectorized across all blocks of an image with the
+SAME per-element operation order as the scalar reference functions kept
+alongside them — elementwise IEEE float64 ops are order-deterministic, so
+the vector paths are bit-identical to the scalar ones (pinned by the
+roundtrip tests).  Entropy coding stays bit-serial per the format.
 """
 from __future__ import annotations
 
 import math
 import struct
 from typing import Dict, List, Tuple
+
+import numpy as np
 
 # Zigzag scan order: index in zigzag sequence -> (row-major) coefficient
 # index, per T.81 Figure 5.
@@ -141,6 +150,81 @@ def _idct8x8(coef: List[float]) -> List[float]:
     return out
 
 
+# ---- vectorized twins of the block math above -------------------------
+# Each reproduces the scalar function's per-element operation ORDER
+# (sequential accumulation over the 8-length axis, same multiply
+# grouping), so float64 results are bit-identical — the roundtrip tests
+# pin this.  Only the batch axis is vectorized.
+
+_COS_NP = np.array(_COS)          # (v, y) cosine table, same values
+_C_NP = np.array(_C)
+_HV_NP = np.array([0.5 * c for c in _C])  # the (0.5 * _C[v]) prefactors
+_ZIG_NP = np.array(ZIGZAG)
+
+
+def _rha_np(c: "np.ndarray") -> "np.ndarray":
+    """Vector :func:`_round_half_away` (int64)."""
+    return np.where(c >= 0, np.floor(c + 0.5),
+                    -np.floor(-c + 0.5)).astype(np.int64)
+
+
+def _fdct_blocks(blocks: "np.ndarray") -> "np.ndarray":
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients
+    (natural order, axes flatten to ``coef[u * 8 + v]``)."""
+    n = blocks.shape[0]
+    acc = np.zeros((n, 8, 8))
+    for y in range(8):  # tmp[x, v] = (0.5*C[v]) * sum_y block[x, y]*COS[v][y]
+        acc += blocks[:, :, y, np.newaxis] * _COS_NP[np.newaxis,
+                                                     np.newaxis, :, y]
+    tmp = acc * _HV_NP[np.newaxis, np.newaxis, :]
+    acc2 = np.zeros((n, 8, 8))
+    for x in range(8):  # out[u, v] = (0.5*C[u]) * sum_x tmp[x, v]*COS[u][x]
+        acc2 += tmp[:, x, np.newaxis, :] * _COS_NP[np.newaxis, :,
+                                                   x, np.newaxis]
+    return acc2 * _HV_NP[np.newaxis, :, np.newaxis]
+
+
+def _idct_blocks(coefs: "np.ndarray") -> "np.ndarray":
+    """(n, 8, 8) dequantized coefficients (axes flatten to
+    ``coef[u * 8 + v]``) -> (n, 8, 8) spatial samples indexed
+    ``[block, y, x]`` (the scalar function's ``spatial[y * 8 + x]``)."""
+    n = coefs.shape[0]
+    acc = np.zeros((n, 8, 8))
+    for v in range(8):  # tmp[u, y] = 0.5 * sum_v (C[v]*coef[u, v])*COS[v][y]
+        acc += (_C_NP[v] * coefs[:, :, v])[:, :, np.newaxis] \
+            * _COS_NP[np.newaxis, np.newaxis, v, :]
+    tmp = 0.5 * acc
+    acc2 = np.zeros((n, 8, 8))
+    for u in range(8):  # out[., y] = 0.5 * sum_u (C[u]*tmp[u, y])*COS[u][x]
+        acc2 += (_C_NP[u] * tmp[:, u, :])[:, np.newaxis, :] \
+            * _COS_NP[np.newaxis, u, :, np.newaxis]
+    # acc2 axes are (block, x-loop, y-loop) per the scalar out[x*8+y];
+    # reading spatial[y*8+x] therefore indexes [block, y, x] — return
+    # as-is and document the axis meaning at the call sites
+    return 0.5 * acc2
+
+
+def _gather_blocks(plane, pw: int, ph: int,
+                   bw_blocks: int, bh_blocks: int) -> "np.ndarray":
+    """Vector twin of the encoders' ``block_at``: (bh*bw, 8, 8) level-
+    shifted float64 blocks with edge replication, block index
+    ``by * bw_blocks + bx``."""
+    arr = np.frombuffer(bytes(plane), dtype=np.uint8).reshape(ph, pw)
+    rows = np.minimum(np.arange(bh_blocks * 8), ph - 1)
+    cols = np.minimum(np.arange(bw_blocks * 8), pw - 1)
+    g = arr[rows][:, cols].astype(np.float64) - 128.0
+    return (g.reshape(bh_blocks, 8, bw_blocks, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _quantize_blocks(coefs: "np.ndarray", q: List[int]) -> "np.ndarray":
+    """(n, 8, 8) DCT coefficients -> (n, 64) zigzag-ordered quantized
+    int64 (the scalar ``_round_half_away(coef[ZIGZAG[i]] / q[ZIGZAG[i]])``)."""
+    flat = coefs.reshape(-1, 64)
+    qa = np.asarray(q, dtype=np.float64)
+    return _rha_np(flat[:, _ZIG_NP] / qa[_ZIG_NP])
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -234,6 +318,14 @@ def _encode_block(bw: "_BitWriter", block: List[float], q: List[int],
     qc = [0] * 64
     for i in range(64):
         qc[i] = _round_half_away(coef[ZIGZAG[i]] / q[ZIGZAG[i]])
+    return _encode_qc(bw, qc, dc_codes, ac_codes, pred)
+
+
+def _encode_qc(bw: "_BitWriter", qc, dc_codes: Dict[int, Tuple[int, int]],
+               ac_codes: Dict[int, Tuple[int, int]], pred: int) -> int:
+    """Entropy-code one already-quantized zigzag block (the bit-serial
+    tail of :func:`_encode_block`; the batched encoders feed it rows of
+    :func:`_quantize_blocks`)."""
     diff = qc[0] - pred
     pred = qc[0]
     cat, mbits = _magnitude(diff)
@@ -318,16 +410,13 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     pred = 0
     bx_count = (width + 7) // 8
     by_count = (height + 7) // 8
-    for by in range(by_count):
-        for bx in range(bx_count):
-            # level-shifted block with edge replication
-            block = [0.0] * 64
-            for y in range(8):
-                sy = min(by * 8 + y, height - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, width - 1)
-                    block[y * 8 + x] = pixels[sy * width + sx] - 128.0
-            pred = _encode_block(bw, block, q, dc_codes, ac_codes, pred)
+    # batched FDCT + quantize over every block (edge-replicated,
+    # level-shifted), raster order; entropy coding stays serial
+    qcs = _quantize_blocks(
+        _fdct_blocks(_gather_blocks(pixels, width, height,
+                                    bx_count, by_count)), q).tolist()
+    for qc in qcs:
+        pred = _encode_qc(bw, qc, dc_codes, ac_codes, pred)
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
@@ -340,27 +429,27 @@ def _ycbcr_420_planes(width: int, height: int, rgb: bytes
     replication).  Returns (Y, Cb, Cr, chroma_w, chroma_h); shared by
     the baseline and progressive color encoders so both quantize
     identical coefficients."""
-    n = width * height
-    yp = bytearray(n)
-    cbf = bytearray(n)
-    crf = bytearray(n)
-    for i in range(n):
-        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
-        yp[i] = y
-        cbf[i] = cb
-        crf[i] = cr
+    # vector twin of per-pixel rgb_to_ycbcr + the 2x2 rounded-mean
+    # subsample: same expression trees, exact integer arithmetic
+    px = np.frombuffer(bytes(rgb), dtype=np.uint8).astype(np.int64)
+    r, g, b = px[0::3], px[1::3], px[2::3]
+    yv = np.clip(_rha_np(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cbv = np.clip(_rha_np(-0.168736 * r - 0.331264 * g + 0.5 * b + 128),
+                  0, 255)
+    crv = np.clip(_rha_np(0.5 * r - 0.418688 * g - 0.081312 * b + 128),
+                  0, 255)
+    yp = bytearray(yv.astype(np.uint8).tobytes())
     cw, ch = (width + 1) // 2, (height + 1) // 2
-    cbs = bytearray(cw * ch)
-    crs = bytearray(cw * ch)
-    for cy in range(ch):
-        y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
-        for cx in range(cw):
-            x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
-            for src, dst in ((cbf, cbs), (crf, crs)):
-                s = (src[y0 * width + x0] + src[y0 * width + x1]
-                     + src[y1 * width + x0] + src[y1 * width + x1])
-                dst[cy * cw + cx] = (s + 2) // 4
-    return yp, cbs, crs, cw, ch
+    y0 = 2 * np.arange(ch)
+    y1 = np.minimum(y0 + 1, height - 1)
+    x0 = 2 * np.arange(cw)
+    x1 = np.minimum(x0 + 1, width - 1)
+    out = []
+    for full in (cbv, crv):
+        f = full.reshape(height, width)
+        s = (f[y0][:, x0] + f[y0][:, x1] + f[y1][:, x0] + f[y1][:, x1])
+        out.append(bytearray(((s + 2) // 4).astype(np.uint8).tobytes()))
+    return yp, out[0], out[1], cw, ch
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
@@ -403,32 +492,30 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     dc_chr = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
     ac_chr = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
 
-    def block_at(plane: bytearray, pw: int, ph: int, ox: int,
-                 oy: int) -> List[float]:
-        b = [0.0] * 64
-        for y in range(8):
-            sy = min(oy + y, ph - 1)
-            for x in range(8):
-                sx = min(ox + x, pw - 1)
-                b[y * 8 + x] = plane[sy * pw + sx] - 128.0
-        return b
+    # batched FDCT + quantize per component grid (edge-replicated,
+    # level-shifted — the vector twin of the old per-MCU block_at);
+    # the MCU-interleaved entropy loop below indexes into the grids
+    mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+    qy = _quantize_blocks(_fdct_blocks(_gather_blocks(
+        yp, width, height, 2 * mcux, 2 * mcuy)), q).tolist()
+    qcb = _quantize_blocks(_fdct_blocks(_gather_blocks(
+        cbs, cw, ch, mcux, mcuy)), q).tolist()
+    qcr = _quantize_blocks(_fdct_blocks(_gather_blocks(
+        crs, cw, ch, mcux, mcuy)), q).tolist()
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for my in range((height + 15) // 16):
-        for mx in range((width + 15) // 16):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for by in range(2):  # 4 luma blocks, raster order in the MCU
                 for bx in range(2):
-                    preds[0] = _encode_block(
-                        bw, block_at(yp, width, height,
-                                     mx * 16 + bx * 8, my * 16 + by * 8),
-                        q, dc_lum, ac_lum, preds[0])
-            preds[1] = _encode_block(
-                bw, block_at(cbs, cw, ch, mx * 8, my * 8),
-                q, dc_chr, ac_chr, preds[1])
-            preds[2] = _encode_block(
-                bw, block_at(crs, cw, ch, mx * 8, my * 8),
-                q, dc_chr, ac_chr, preds[2])
+                    preds[0] = _encode_qc(
+                        bw, qy[(my * 2 + by) * 2 * mcux + mx * 2 + bx],
+                        dc_lum, ac_lum, preds[0])
+            preds[1] = _encode_qc(
+                bw, qcb[my * mcux + mx], dc_chr, ac_chr, preds[1])
+            preds[2] = _encode_qc(
+                bw, qcr[my * mcux + mx], dc_chr, ac_chr, preds[2])
     bw.flush()
     out += bw.buf
     out += b"\xFF\xD9"  # EOI
@@ -480,18 +567,11 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
         bw_pad, bh_pad = mcux * hc, mcuy * vc
         cwidth = (width * hc + hmax - 1) // hmax
         cheight = (height * vc + vmax - 1) // vmax
-        blocks: List[List[int]] = []
-        for bidx in range(bw_pad * bh_pad):
-            by, bx = divmod(bidx, bw_pad)
-            block = [0.0] * 64
-            for y in range(8):
-                sy = min(by * 8 + y, ph - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, pw - 1)
-                    block[y * 8 + x] = plane[sy * pw + sx] - 128.0
-            coef = _fdct8x8(block)
-            blocks.append([_round_half_away(coef[ZIGZAG[i]] / q[ZIGZAG[i]])
-                           for i in range(64)])
+        # batched FDCT + quantize over the padded MCU grid (identical
+        # math to _encode_block: edge-replicated level-shifted blocks,
+        # round-half-away quantize)
+        blocks = _quantize_blocks(_fdct_blocks(_gather_blocks(
+            plane, pw, ph, bw_pad, bh_pad)), q).tolist()
         comps.append((blocks, bw_pad,
                       (cwidth + 7) // 8, (cheight + 7) // 8, hc, vc))
 
@@ -962,53 +1042,45 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     if not width or not comps or not saw_scan:
         raise ValueError("missing SOF or SOS")
 
-    # reconstruct: dequantize + IDCT every (padded) block per component
-    planes: Dict[int, Tuple[bytearray, int, int]] = {}
+    # reconstruct: batched dequantize + IDCT over every (padded) block
+    # per component (the vector twin of the old per-block loop; same
+    # floor(spatial + 128.5) + clamp per pixel)
+    planes: Dict[int, Tuple["np.ndarray", int, int]] = {}
     for cid, hc, vc, tq in comps:
         if tq not in qtables:
             raise ValueError(f"missing quant table {tq}")
         q = qtables[tq]
         blocks, bw_pad, bh_pad, _cbw, _cbh = store[cid]
         pw, ph = bw_pad * 8, bh_pad * 8
-        plane = bytearray(pw * ph)
-        for bidx, blk in enumerate(blocks):
-            by, bx = divmod(bidx, bw_pad)
-            coef = [0.0] * 64
-            for j in range(64):
-                coef[ZIGZAG[j]] = blk[j] * q[ZIGZAG[j]]
-            spatial = _idct8x8(coef)
-            oy, ox = by * 8, bx * 8
-            for y in range(8):
-                row = (oy + y) * pw + ox
-                for x in range(8):
-                    plane[row + x] = _clamp8(
-                        int(math.floor(spatial[y * 8 + x] + 128.5)))
+        blk = np.array(blocks, dtype=np.int64)          # (n, 64) zigzag
+        qa = np.asarray(q, dtype=np.int64)
+        coefs = np.zeros((blk.shape[0], 64))
+        coefs[:, _ZIG_NP] = (blk * qa[_ZIG_NP]).astype(np.float64)
+        spatial = _idct_blocks(coefs.reshape(-1, 8, 8))  # [block, y, x]
+        pix = np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.uint8)
+        plane = (pix.reshape(bh_pad, bw_pad, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(ph, pw))
         planes[cid] = (plane, pw, ph)
 
     if len(comps) == 1:
-        plane, pw, _ph = planes[comps[0][0]]
-        img = bytearray(width * height)
-        for y in range(height):
-            img[y * width:(y + 1) * width] = plane[y * pw:y * pw + width]
-        return width, height, 1, bytes(img)
+        plane, _pw, _ph = planes[comps[0][0]]
+        return width, height, 1, plane[:height, :width].tobytes()
 
     # 3 components: nearest-neighbor chroma upsample + YCbCr -> RGB
-    (cid_y, hy, vy, _), (cid_b, hb, vb, _), (cid_r, hr, vr, _) = comps
-    py, pwy, _ = planes[cid_y]
-    pb, pwb, _ = planes[cid_b]
-    pr, pwr, _ = planes[cid_r]
-    img = bytearray(width * height * 3)
-    for y in range(height):
-        for x in range(width):
-            yv = py[(y * vy // vmax) * pwy + (x * hy // hmax)]
-            cb = pb[(y * vb // vmax) * pwb + (x * hb // hmax)]
-            cr = pr[(y * vr // vmax) * pwr + (x * hr // hmax)]
-            r, g, b = ycbcr_to_rgb(yv, cb, cr)
-            o = (y * width + x) * 3
-            img[o] = r
-            img[o + 1] = g
-            img[o + 2] = b
-    return width, height, 3, bytes(img)
+    # (vectorized with the scalar ycbcr_to_rgb expression trees)
+    chans = []
+    for cid, hc, vc, _tq in comps:
+        plane, _pw, _ph = planes[cid]
+        rows = (np.arange(height) * vc) // vmax
+        cols = (np.arange(width) * hc) // hmax
+        chans.append(plane[rows][:, cols].astype(np.int64))
+    yv, cb, cr = chans
+    r = np.clip(_rha_np(yv + 1.402 * (cr - 128)), 0, 255)
+    g = np.clip(_rha_np(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                0, 255)
+    b = np.clip(_rha_np(yv + 1.772 * (cb - 128)), 0, 255)
+    img = np.stack((r, g, b), axis=-1).astype(np.uint8)
+    return width, height, 3, img.tobytes()
 
 
 def decode_jpeg_gray(data: bytes) -> Tuple[int, int, bytes]:

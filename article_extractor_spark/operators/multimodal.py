@@ -294,7 +294,11 @@ def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
     any codec bug (filter math, stride, chunking) breaks the value
     match.  Encoded size is deliberately NOT emitted — zlib output can
     differ across library builds; pixel math cannot."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # codec work per doc: a single parquet split would serialize it
+    ids = ensure_min_partitions(
+        docs.select(F.col("doc_id").alias("media_id")))
     return ids.mapInPandas(_png_roundtrip_batches, PNG_STATS_SCHEMA)
 
 
@@ -352,7 +356,11 @@ def wav_roundtrip_stats(docs: DataFrame) -> DataFrame:
     back; emits rate/length plus exact absolute-amplitude stats that the
     oracle recomputes by formula — audio decode is no longer a stub for
     PCM WAV."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # codec work per doc: a single parquet split would serialize it
+    ids = ensure_min_partitions(
+        docs.select(F.col("doc_id").alias("media_id")))
     return ids.mapInPandas(_wav_roundtrip_batches, WAV_STATS_SCHEMA)
 
 
@@ -367,6 +375,8 @@ PHASH_SCHEMA = StructType([
 
 def _phash_batches(batches: Iterator[pd.DataFrame]
                    ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     from article_extractor_spark.core.png import decode_png, encode_png
     for pdf in batches:
         out = {k: [] for k in ("media_id", "width", "height",
@@ -374,26 +384,31 @@ def _phash_batches(batches: Iterator[pd.DataFrame]
         for mid in pdf["media_id"]:
             mid = int(mid)
             w, h = mid % 16 + 4, mid % 8 + 3
-            px = bytearray()
-            for y in range(h):
-                for x in range(w):
-                    px += bytes(((x * 7 + y * 13 + mid) % 256,
-                                 (x * 3 + y * 5 + 2 * mid) % 256,
-                                 (x + y + 3 * mid) % 256))
+            # vectorized synthesis of the same per-pixel RGB formula
+            xs, ys = np.arange(w)[None, :], np.arange(h)[:, None]
+            px = np.stack(((7 * xs + 13 * ys + mid) % 256,
+                           (3 * xs + 5 * ys + 2 * mid) % 256,
+                           (xs + ys + 3 * mid) % 256),
+                          axis=-1).astype(np.uint8).tobytes()
             dw, dh, _ch, raw = decode_png(
-                encode_png(w, h, bytes(px), color_type=2, filter_type=None))
-            # integer luma per pixel (x1000), from the DECODED bytes
-            cell_sum = [[0] * 4 for _ in range(4)]
-            cell_cnt = [[0] * 4 for _ in range(4)]
-            total = 0
-            for y in range(dh):
-                for x in range(dw):
-                    o = (y * dw + x) * 3
-                    g = (299 * raw[o] + 587 * raw[o + 1]
-                         + 114 * raw[o + 2])
-                    total += g
-                    cell_sum[(4 * y) // dh][(4 * x) // dw] += g
-                    cell_cnt[(4 * y) // dh][(4 * x) // dw] += 1
+                encode_png(w, h, px, color_type=2, filter_type=None))
+            # integer luma per pixel (x1000) from the DECODED bytes;
+            # 4x4 cell sums via bincount on the cell index (integer
+            # sums below 2^53 are exact in the float accumulator)
+            a = np.frombuffer(raw, dtype=np.uint8) \
+                .astype(np.int64).reshape(dh, dw, 3)
+            gl = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+            iy = (4 * np.arange(dh)) // dh
+            ix = (4 * np.arange(dw)) // dw
+            idx = (iy[:, None] * 4 + ix[None, :]).ravel()
+            cs = np.bincount(idx, weights=gl.ravel().astype(np.float64),
+                             minlength=16).astype(np.int64)
+            cc = np.bincount(idx, minlength=16)
+            cell_sum = [[int(cs[ci * 4 + cj]) for cj in range(4)]
+                        for ci in range(4)]
+            cell_cnt = [[int(cc[ci * 4 + cj]) for cj in range(4)]
+                        for ci in range(4)]
+            total = int(gl.sum(dtype=np.int64))
             np_ = dw * dh
             bits = nb = 0
             for ci in range(4):
@@ -418,7 +433,11 @@ def image_phash(docs: DataFrame) -> DataFrame:
     pixel formula.  Equal or near-equal hashes are the standard
     image-dedup key (exact groupBy, or hamming-bucketed LSH at
     scale)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # codec work per doc: a single parquet split would serialize it
+    ids = ensure_min_partitions(
+        docs.select(F.col("doc_id").alias("media_id")))
     return ids.mapInPandas(_phash_batches, PHASH_SCHEMA)
 
 
@@ -479,7 +498,11 @@ def audio_frame_stats(docs: DataFrame, frame_len: int = 16,
     sum of squares, the RMS (sqrt of an exact quotient: IEEE-identical
     across engines, emitted UNROUNDED per the oracle float policy), and
     an integer-exact silence flag (ssq < rms_thresh^2 * n)."""
-    ids = docs.select(F.col("doc_id").alias("media_id"))
+    from article_extractor_spark.operators.dedup import ensure_min_partitions
+
+    # codec work per doc: a single parquet split would serialize it
+    ids = ensure_min_partitions(
+        docs.select(F.col("doc_id").alias("media_id")))
     return ids.mapInPandas(
         _audio_frame_batches(frame_len, silence_rms), AUDIO_FRAMES_SCHEMA)
 
@@ -497,27 +520,28 @@ def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]
                             ) -> Iterator[pd.DataFrame]:
     from article_extractor_spark.core.jpeg import (decode_jpeg_gray,
                                                    encode_jpeg_gray)
+    import numpy as np
     for pdf in batches:
         out = {k: [] for k in ("media_id", "width", "height", "n_blocks",
                                "sum_lum")}
         for mid in pdf["media_id"]:
             mid = int(mid)
             w, h = 16 + (mid % 2) * 8, 16
-            px = bytearray(w * h)
-            for by in range(h // 8):
-                for bx in range(w // 8):
-                    v = (mid * 7 + bx * 31 + by * 17) % 256
-                    for y in range(8):
-                        row = (by * 8 + y) * w + bx * 8
-                        for x in range(8):
-                            px[row + x] = v
-            data = encode_jpeg_gray(w, h, bytes(px))
+            # constant 8x8 blocks, value (mid*7 + bx*31 + by*17) % 256 —
+            # vectorized synthesis of the same bytes
+            vals = (mid * 7 + 31 * np.arange(w // 8)[None, :]
+                    + 17 * np.arange(h // 8)[:, None]) % 256
+            px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1) \
+                .astype(np.uint8).tobytes()
+            data = encode_jpeg_gray(w, h, px)
             dw, dh, raw = decode_jpeg_gray(data)
             out["media_id"].append(mid)
             out["width"].append(dw)
             out["height"].append(dh)
             out["n_blocks"].append((dw // 8) * (dh // 8))
-            out["sum_lum"].append(sum(raw))
+            out["sum_lum"].append(
+                int(np.frombuffer(raw, dtype=np.uint8)
+                    .sum(dtype=np.int64)))
         yield pd.DataFrame(out)
 
 
@@ -686,6 +710,8 @@ JPEG_COLOR_SCHEMA = StructType([
 
 def _jpeg_color_batches(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     from article_extractor_spark.core.jpeg import (decode_jpeg,
                                                    encode_jpeg_color)
     for pdf in batches:
@@ -694,25 +720,23 @@ def _jpeg_color_batches(batches: Iterator[pd.DataFrame]
         for mid in pdf["media_id"]:
             mid = int(mid)
             w, h = 32 + (mid % 2) * 16, 16
-            rgb = bytearray(w * h * 3)
+            # 16-wide palette stripes — vectorized synthesis of the
+            # same bytes as the old per-pixel loop
+            arr = np.empty((h, w, 3), dtype=np.uint8)
             for mx in range(w // 16):
-                r, g, b = JPEG_PALETTE[(mid * 7 + mx * 13) % 8]
-                for y in range(16):
-                    for x in range(16):
-                        o = (y * w + mx * 16 + x) * 3
-                        rgb[o] = r
-                        rgb[o + 1] = g
-                        rgb[o + 2] = b
-            data = encode_jpeg_color(w, h, bytes(rgb))
+                arr[:, mx * 16:(mx + 1) * 16] = \
+                    JPEG_PALETTE[(mid * 7 + mx * 13) % 8]
+            data = encode_jpeg_color(w, h, arr.tobytes())
             dw, dh, nc, raw = decode_jpeg(data)
             assert nc == 3
+            px = np.frombuffer(raw, dtype=np.uint8)
             out["media_id"].append(mid)
             out["width"].append(dw)
             out["height"].append(dh)
             out["n_mcus"].append((dw // 16) * (dh // 16))
-            out["sum_r"].append(sum(raw[0::3]))
-            out["sum_g"].append(sum(raw[1::3]))
-            out["sum_b"].append(sum(raw[2::3]))
+            out["sum_r"].append(int(px[0::3].sum(dtype=np.int64)))
+            out["sum_g"].append(int(px[1::3].sum(dtype=np.int64)))
+            out["sum_b"].append(int(px[2::3].sum(dtype=np.int64)))
         yield pd.DataFrame(out)
 
 
@@ -739,6 +763,8 @@ def jpeg_color_roundtrip_stats(docs: DataFrame) -> DataFrame:
 
 def _jpeg_phash_batches(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     from article_extractor_spark.core.jpeg import (decode_jpeg_gray,
                                                    encode_jpeg_gray)
     for pdf in batches:
@@ -747,24 +773,29 @@ def _jpeg_phash_batches(batches: Iterator[pd.DataFrame]
         for mid in pdf["media_id"]:
             mid = int(mid)
             w, h = 16 + (mid % 3) * 8, 16
-            px = bytearray(w * h)
-            for by in range(h // 8):
-                for bx in range(w // 8):
-                    v = (mid * 11 + bx * 37 + by * 59) % 256
-                    for y in range(8):
-                        row = (by * 8 + y) * w + bx * 8
-                        for x in range(8):
-                            px[row + x] = v
-            dw, dh, raw = decode_jpeg_gray(encode_jpeg_gray(w, h, bytes(px)))
-            cell_sum = [[0] * 4 for _ in range(4)]
-            cell_cnt = [[0] * 4 for _ in range(4)]
-            total = 0
-            for y in range(dh):
-                for x in range(dw):
-                    g = raw[y * dw + x]
-                    total += g
-                    cell_sum[(4 * y) // dh][(4 * x) // dw] += g
-                    cell_cnt[(4 * y) // dh][(4 * x) // dw] += 1
+            # constant 8x8 blocks, value (mid*11 + bx*37 + by*59) % 256
+            # — vectorized synthesis of the same bytes
+            vals = (mid * 11 + 37 * np.arange(w // 8)[None, :]
+                    + 59 * np.arange(h // 8)[:, None]) % 256
+            px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1) \
+                .astype(np.uint8).tobytes()
+            dw, dh, raw = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+            # 4x4 cell sums/counts over the decoded grid: bincount on
+            # the cell index (integer sums below 2^53 are exact in the
+            # float weight accumulator)
+            g = np.frombuffer(raw, dtype=np.uint8) \
+                .astype(np.int64).reshape(dh, dw)
+            iy = (4 * np.arange(dh)) // dh
+            ix = (4 * np.arange(dw)) // dw
+            idx = (iy[:, None] * 4 + ix[None, :]).ravel()
+            cs = np.bincount(idx, weights=g.ravel(),
+                             minlength=16).astype(np.int64)
+            cc = np.bincount(idx, minlength=16)
+            cell_sum = [[int(cs[ci * 4 + cj]) for cj in range(4)]
+                        for ci in range(4)]
+            cell_cnt = [[int(cc[ci * 4 + cj]) for cj in range(4)]
+                        for ci in range(4)]
+            total = int(g.sum(dtype=np.int64))
             np_ = dw * dh
             bits = nb = 0
             for ci in range(4):
@@ -817,22 +848,21 @@ def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]
             "identical", "sum_r", "sum_g", "sum_b")
     for pdf in batches:
         out = {k: [] for k in cols}
+        import numpy as np
         for mid in pdf["media_id"]:
             mid = int(mid)
             w, h = 32 + (mid % 2) * 16, 16
-            rgb = bytearray(w * h * 3)
+            # 16-wide palette stripes — vectorized synthesis of the
+            # same bytes as the old per-pixel loop
+            arr = np.empty((h, w, 3), dtype=np.uint8)
             for mx in range(w // 16):
-                r, g, b = JPEG_PALETTE[(mid * 7 + mx * 13) % 8]
-                for y in range(16):
-                    for x in range(16):
-                        o = (y * w + mx * 16 + x) * 3
-                        rgb[o] = r
-                        rgb[o + 1] = g
-                        rgb[o + 2] = b
+                arr[:, mx * 16:(mx + 1) * 16] = \
+                    JPEG_PALETTE[(mid * 7 + mx * 13) % 8]
+            rgb = arr.tobytes()
             ri = 1 + mid % 3
-            prog = encode_jpeg_progressive(w, h, bytes(rgb),
+            prog = encode_jpeg_progressive(w, h, rgb,
                                            restart_interval=ri)
-            base = encode_jpeg_color(w, h, bytes(rgb))
+            base = encode_jpeg_color(w, h, rgb)
             dw, dh, nc, raw = decode_jpeg(prog)
             assert nc == 3
             # marker counts are exact: entropy data stuffs FF -> FF 00,
@@ -840,6 +870,7 @@ def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]
             n_scans = prog.count(b"\xFF\xDA")
             n_rst = sum(prog.count(bytes([0xFF, 0xD0 + i]))
                         for i in range(8))
+            px = np.frombuffer(raw, dtype=np.uint8)
             out["media_id"].append(mid)
             out["width"].append(dw)
             out["height"].append(dh)
@@ -847,9 +878,9 @@ def _jpeg_progressive_batches(batches: Iterator[pd.DataFrame]
             out["n_rst"].append(n_rst)
             out["identical"].append(
                 int(decode_jpeg(base) == (dw, dh, nc, raw)))
-            out["sum_r"].append(sum(raw[0::3]))
-            out["sum_g"].append(sum(raw[1::3]))
-            out["sum_b"].append(sum(raw[2::3]))
+            out["sum_r"].append(int(px[0::3].sum(dtype=np.int64)))
+            out["sum_g"].append(int(px[1::3].sum(dtype=np.int64)))
+            out["sum_b"].append(int(px[2::3].sum(dtype=np.int64)))
         yield pd.DataFrame(out)
 
 
