@@ -26,6 +26,30 @@ def _h(col, seed) -> "F.Column":
     )
 
 
+def _strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a MATERIALIZED (checkpointed) DataFrame as a bare scan of
+    its own internal-row RDD, dropping the origin plan's propagated size
+    statistics.
+
+    localCheckpoint propagates the origin plan's statistics into the
+    resulting LogicalRDD, and join size estimation MULTIPLIES them —
+    so an iterative loop that checkpoints a multi-self-join plan each
+    round grows the BigInt estimate's bit length geometrically.  After
+    ~20 compounded joins the driver burns whole minutes inside
+    BigInteger.multiply during planning (measured on the label-
+    propagation loop at sf1.0: 0.3s -> 113s per round, every JVM worker
+    idle).  A bare LogicalRDD falls back to the constant
+    defaultSizeInBytes, which caps the growth per round.  Falls back to
+    the input unchanged if the internal constructor ever drifts."""
+    try:
+        jdf = df._jdf
+        fresh = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return df
+
+
 def ensure_min_partitions(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than the cluster has task slots.  A single small parquet file scans
@@ -369,28 +393,58 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         .withColumn("label", F.col(id_col))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        # one neighbor-min step, then one pointer-jump step
+        # (label <- min(label, label(label))): the jump shortcuts
+        # monotone label chains, cutting the round count on long
+        # near-dup paths (sf1.0: 17.9s -> 13.7s for the operator; more
+        # jumps per round measured NO further round reduction — with
+        # arbitrary id layout the chains collapse to local-minimum
+        # plateaus that only the neighbor-min step can cross).  The
+        # fixpoint is unchanged (labels decrease monotonically to the
+        # component min; a round that changes nothing is a fixpoint of
+        # the plain neighbor-min loop too), so the output is identical.
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+        stepped = (
+            labels.withColumnRenamed("label", "_old")
+            .join(neighbor_min, F.col(id_col) == F.col("src"), "left")
             .select(
-                labels[id_col],
+                F.col(id_col),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                    F.col("_old"), F.coalesce(F.col("nbr_label"),
+                                              F.col("_old"))
+                ).alias("_s"),
+                F.col("_old"),
             )
+        )
+        tgt = stepped.select(F.col(id_col).alias("_tid"),
+                             F.col("_s").alias("_tlabel"))
+        new_labels = (
+            stepped.join(tgt, stepped["_s"] == tgt["_tid"], "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("_s"), F.coalesce(F.col("_tlabel"),
+                                                F.col("_s"))).alias("label"),
+                F.col("_old"),
+            )
+            # convergence flag rides the checkpointed frame: the probe
+            # below reads it back instead of re-joining old vs new
+            .withColumn("_chg", F.col("label") != F.col("_old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        if (it + 1) % 8 == 0:
+            # localCheckpoint propagates origin statistics, and each
+            # round's joins MULTIPLY them — unbounded rounds would grow
+            # the BigInt size estimate's bit length geometrically until
+            # planning itself dominates (measured: minutes per round
+            # once the estimate passes ~1M bits).  Re-basing every 8
+            # rounds caps the growth at a few-KB number.
+            new_labels = _strip_plan_stats(new_labels)
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.select(F.col(id_col), "label")
         if changed == 0:
             break
     return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
@@ -516,6 +570,12 @@ def dedup_clusters_full(df: DataFrame, text_col: str = "text",
     )
 
 
+# codegen-specialized dot-product width (the engine's embedding tables
+# are 64-wide); vectors of any OTHER width take the general
+# zip_with/aggregate expression inside embedding_near_dups unchanged
+_COMMON_DIM = 64
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
@@ -541,9 +601,24 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     b = with_norm.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
         F.col("_blk"), F.col("_n").alias("nb"))
-    dot = F.aggregate(
+    # The higher-order zip_with/aggregate dot is interpreted per PAIR
+    # (array allocation + lambda dispatch per element — the dominant
+    # cost of the block-diagonal self-join).  For the common embedding
+    # width an unrolled product chain compiles to straight-line codegen
+    # arithmetic with the SAME sequential accumulation order
+    # (0.0 + t0 + t1 + ... left-associated == aggregate's acc + x), so
+    # the double is bit-identical; any other width takes the original
+    # expression, also unchanged.
+    hof_dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
+    unrolled = F.lit(0.0)
+    for i in range(_COMMON_DIM):
+        unrolled = unrolled + (F.get("va", i).cast("double")
+                               * F.get("vb", i).cast("double"))
+    dot = F.when((F.size("va") == _COMMON_DIM)
+                 & (F.size("vb") == _COMMON_DIM),
+                 unrolled).otherwise(hof_dot)
     return (
         a.join(b, "_blk")
         .where(F.col("a_id") < F.col("b_id"))
