@@ -346,8 +346,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         f"t -> cast(conv(substr(md5(concat('sim', ':', t)), 1, 15), 16, 10) as bigint))"
     )
     # docs with no tokens are absent (same as the grouped formulation and
-    # the oracle, where zero token rows -> no group)
-    hashed = df.select(F.col(id_col), th.alias("_th")).where(F.size("_th") > 0)
+    # the oracle, where zero token rows -> no group).  The no-token test
+    # is expressed as trim(text) != '' — an EQUIVALENT predicate (split
+    # on \s+ yields a non-'' token iff some non-whitespace char exists;
+    # null text fails both) that costs nothing when Catalyst pushes it
+    # below the fan-out exchange.  The former size(_th) > 0 filter
+    # dragged the whole md5 transform below the exchange with it, so the
+    # operator's entire cost ran serially on the scan split AND was
+    # re-computed above (measured: fan-out gained nothing at sf1.0).
+    hashed = (ensure_min_partitions(df.select(F.col(id_col), text_col))
+              .where(F.trim(F.col(text_col)) != "")
+              .select(F.col(id_col), th.alias("_th")))
     def _bit_sum(i):
         return F.aggregate(
             F.col("_th"), F.lit(0),
