@@ -113,6 +113,15 @@ def _entry_helpers(entry, src: str, helper_names: list[str],
             hsrc = inspect.getsource(obj)
             collected[name] = hsrc
             _entry_helpers(entry, hsrc, helper_names, collected)
+        elif isinstance(obj, (dict, list)):
+            # mutable module-level containers are RUNTIME STATE, not
+            # source: _CONFIG_BC (the per-session broadcast cache) gets
+            # populated once any Spark test runs in-process, and hashing
+            # its repr made the currency gate's verdict depend on test
+            # execution order.  Hash the name/type only; code changes
+            # still surface through the function sources and module
+            # bytes.
+            collected[name] = f"<mutable {type(obj).__name__} {name}>"
         else:
             collected[name] = repr(obj)
 
