@@ -106,10 +106,37 @@ def _canonical_codes(bits: List[int], vals: List[int]
     return codes
 
 
+_CODE_CACHE: Dict[tuple, Dict[int, Tuple[int, int]]] = {}
+
+
+def _canonical_codes_cached(bits: List[int], vals: List[int]
+                            ) -> Dict[int, Tuple[int, int]]:
+    """Memoized :func:`_canonical_codes` — the encoders rebuild the same
+    four Annex K tables per image otherwise (callers must not mutate)."""
+    key = (tuple(bits), tuple(vals))
+    tab = _CODE_CACHE.get(key)
+    if tab is None:
+        tab = _CODE_CACHE[key] = _canonical_codes(bits, vals)
+    return tab
+
+
+_DECODE_CACHE: Dict[tuple, Dict[Tuple[int, int], int]] = {}
+
+
 def _decode_table(bits: List[int], vals: List[int]
                   ) -> Dict[Tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-serial Huffman decoding."""
-    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+    """(length, code) -> symbol, for bit-serial Huffman decoding.
+    Memoized: a corpus decode pass sees the same few DHT tables per
+    stream (bounded: tables are <= 16+256 entries, distinct table sets
+    in one task's inputs are few; callers must not mutate)."""
+    key = (tuple(bits), tuple(vals))
+    tab = _DECODE_CACHE.get(key)
+    if tab is None:
+        if len(_DECODE_CACHE) > 4096:  # unbounded-input guard
+            _DECODE_CACHE.clear()
+        tab = _DECODE_CACHE[key] = {
+            (l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+    return tab
 
 
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
@@ -404,8 +431,8 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
     out += bytes([1, 0x00, 0, 63, 0])
 
-    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_codes = _canonical_codes_cached(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes_cached(AC_LUM_BITS, AC_LUM_VALS)
     bw = _BitWriter()
     pred = 0
     bx_count = (width + 7) // 8
@@ -487,10 +514,10 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
 
-    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_lum = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-    dc_chr = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
-    ac_chr = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+    dc_lum = _canonical_codes_cached(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _canonical_codes_cached(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chr = _canonical_codes_cached(DC_CHR_BITS, DC_CHR_VALS)
+    ac_chr = _canonical_codes_cached(AC_CHR_BITS, AC_CHR_VALS)
 
     # batched FDCT + quantize per component grid (edge-replicated,
     # level-shifted — the vector twin of the old per-MCU block_at);
@@ -594,11 +621,11 @@ def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
 
-    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS)]
-    ac_codes = [_canonical_codes(AC_LUM_BITS, AC_LUM_VALS)]
+    dc_codes = [_canonical_codes_cached(DC_LUM_BITS, DC_LUM_VALS)]
+    ac_codes = [_canonical_codes_cached(AC_LUM_BITS, AC_LUM_VALS)]
     if ncomp == 3:
-        dc_codes += [_canonical_codes(DC_CHR_BITS, DC_CHR_VALS)] * 2
-        ac_codes += [_canonical_codes(AC_CHR_BITS, AC_CHR_VALS)] * 2
+        dc_codes += [_canonical_codes_cached(DC_CHR_BITS, DC_CHR_VALS)] * 2
+        ac_codes += [_canonical_codes_cached(AC_CHR_BITS, AC_CHR_VALS)] * 2
 
     def emit_scan(cis: List[int], ss: int, se: int, ah: int,
                   al: int) -> None:
