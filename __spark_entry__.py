@@ -1273,13 +1273,16 @@ E2E_MIN_WORDS = 80               # quality gate (integer-exact)
 E2E_CTX = 2048                   # packing context length
 
 
-def _build_e2e_warc(sf_dir: str) -> str:
+def _build_e2e_warc(sf_dir: str, n_segs: int = 8) -> str:
     """Deterministic WARC segments for the e2e chain: one response record
     per document (the byte-identical synthetic page template) plus a
     MIRROR record for every 7th doc under a '-m' host — same page bytes,
     different url, so extraction output is a byte-dup in tag-stripped
-    plain text and the dedup stage has real work.  8 round-robin
-    segments, half as per-record gzip members (the CC layout)."""
+    plain text and the dedup stage has real work.  ``n_segs`` round-robin
+    segments, half as per-record gzip members (the CC layout; gz
+    segments are unsplittable, so one file = one scan task — a real
+    crawl has thousands of segments, and the caller sizes n_segs to its
+    task slots so the synthetic read isn't file-bound)."""
     import gzip
     import tempfile
 
@@ -1300,10 +1303,10 @@ def _build_e2e_warc(sf_dir: str) -> str:
             recs.append((url.replace(".example.com", "-m.example.com", 1),
                          html))
     tmp = tempfile.mkdtemp(prefix="e2ewarc_")
-    segs: list[list] = [[] for _ in range(8)]
+    segs: list[list] = [[] for _ in range(n_segs)]
     for i, (url, html) in enumerate(recs):
-        segs[i % 8].append((url, "2024-01-01T00:00:01Z",
-                            html.encode("utf-8")))
+        segs[i % n_segs].append((url, "2024-01-01T00:00:01Z",
+                                 html.encode("utf-8")))
     for si, seg in enumerate(segs):
         if si % 2 == 0:
             with open(os.path.join(tmp, f"seg-{si}.warc"), "wb") as f:
@@ -1335,7 +1338,11 @@ def q_e2e_curation(spark, sf_dir):
     from article_extractor_spark.operators.tokenizer import bpe_token_counts
     from article_extractor_spark.sources.warc import read_warc
 
-    tmp = _build_e2e_warc(sf_dir)
+    # record set is segment-layout-invariant; segment count sized to the
+    # session's task slots (8 unsplittable files bound the read to 8
+    # cores — a real crawl brings thousands of segments)
+    tmp = _build_e2e_warc(sf_dir,
+                          n_segs=max(8, spark.sparkContext.defaultParallelism))
     pages = read_warc(spark, tmp)
     # partition count scales with the session's task slots (16 was a
     # fixed fraction of the 32-core box; per-row extraction output is
