@@ -347,15 +347,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     # docs with no tokens are absent (same as the grouped formulation and
     # the oracle, where zero token rows -> no group).  The no-token test
-    # is expressed as trim(text) != '' — an EQUIVALENT predicate (split
-    # on \s+ yields a non-'' token iff some non-whitespace char exists;
-    # null text fails both) that costs nothing when Catalyst pushes it
-    # below the fan-out exchange.  The former size(_th) > 0 filter
-    # dragged the whole md5 transform below the exchange with it, so the
-    # operator's entire cost ran serially on the scan split AND was
-    # re-computed above (measured: fan-out gained nothing at sf1.0).
+    # is expressed as rlike('\\S') — the EXACT equivalent predicate
+    # (split on \s+ yields a non-'' token iff a char outside the same \s
+    # class exists; null text fails both; NB trim() strips only spaces,
+    # so it is NOT equivalent on tab/newline-only docs) that costs
+    # nothing when Catalyst pushes it below the fan-out exchange.  The
+    # former size(_th) > 0 filter dragged the whole md5 transform below
+    # the exchange with it, so the operator's entire cost ran serially
+    # on the scan split AND was re-computed above (measured: fan-out
+    # gained nothing at sf1.0).
     hashed = (ensure_min_partitions(df.select(F.col(id_col), text_col))
-              .where(F.trim(F.col(text_col)) != "")
+              .where(F.col(text_col).rlike(r"\S"))
               .select(F.col(id_col), th.alias("_th")))
     def _bit_sum(i):
         return F.aggregate(

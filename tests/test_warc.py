@@ -163,3 +163,39 @@ def test_cdx_plans_warc_read(spark, tmp_path):
            .join(plan, "url", "left_semi").collect())
     assert sorted(r["url"] for r in got) == [
         "https://a.example.com/1", "https://b.example.com/2"]
+
+
+def test_parse_warc_header_terminator_precedence():
+    """r6 perf fix regression pin: the LF-only header-terminator probe is
+    bounded by the CRLF match, and every terminator combination still
+    parses identically — CRLF-only records (no \\n\\n anywhere), LF-only
+    records, and a mixed stream where an EARLIER \\n\\n must beat a later
+    CRLFCRLF."""
+    from article_extractor_spark.sources.warc import parse_warc_records
+
+    def rec(url, body, sep, line_end):
+        head = (f"WARC/1.0{line_end}WARC-Type: response{line_end}"
+                f"WARC-Target-URI: {url}{line_end}"
+                f"Content-Length: {len(body)}{line_end}").encode()
+        return head + sep + body + b"\r\n\r\n"
+
+    # CRLF-only stream (the O(records x bytes) case before the fix)
+    crlf = b"".join(rec(f"http://a.test/{i}", b"B%d" % i, b"\r\n", "\r\n")
+                    for i in range(50))
+    got = list(parse_warc_records(crlf))
+    assert len(got) == 50
+    assert all(body == b"B%d" % i for i, (_, body, _) in enumerate(got))
+
+    # LF-only headers still parse (the hdr_end == -1 fallback)
+    lf = rec("http://a.test/lf", b"LFBODY", b"\n", "\n")
+    (h, body, off), = list(parse_warc_records(lf))
+    assert h["warc-target-uri"] == "http://a.test/lf" and body == b"LFBODY"
+
+    # an \n\n INSIDE the header region (earlier than the CRLFCRLF) wins,
+    # exactly as before the bounded probe: build a record whose header
+    # lines end in LF but whose body begins with \r\n\r\n noise
+    tricky = (b"WARC/1.0\nWARC-Type: response\n"
+              b"WARC-Target-URI: http://a.test/t\n"
+              b"Content-Length: 4\n\n" + b"XYZW" + b"\r\n\r\n")
+    (h2, body2, _), = list(parse_warc_records(tricky))
+    assert body2 == b"XYZW"
