@@ -123,3 +123,64 @@ def test_vectorized_dct_paths_match_scalar_reference():
                 for x in range(8):
                     sx = min(bx * 8 + x, w - 1)
                     assert blk[y][x] == px[sy * w + sx] - 128.0
+
+
+def _brute_cc_min(edge_list):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_component_min_labels_adversarial(spark):
+    """The iterated-contraction CC engine must match brute-force
+    union-find on graphs built to stress its seams: a long chain whose
+    edges are scattered across partitions in shuffled order (bridge
+    edges every partition boundary), ids far apart so the min label
+    must travel the whole chain, stars, and a dense random graph."""
+    import random
+
+    from article_extractor_spark.operators.dedup import (
+        connected_component_min_labels)
+
+    rng = random.Random(7)
+    edges = []
+    # chain of 400 nodes with non-monotone ids: label must propagate
+    # end to end; shuffled input order defeats any ordering luck
+    chain = [(i * 37) % 1009 + 5000 for i in range(400)]
+    edges += list(zip(chain, chain[1:]))
+    # star: hub with 50 leaves, hub id NOT the min (leaf 100 is)
+    edges += [(7000, 100 + i) for i in range(50)]
+    # random blobs
+    nodes = [20000 + i for i in range(300)]
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(500)]
+    rng.shuffle(edges)
+    want = _brute_cc_min(edges)
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long").repartition(8)
+    got = {r["node"]: r["rep"]
+           for r in connected_component_min_labels(df).collect()}
+    assert got == want
+
+
+def test_connected_component_min_labels_empty_and_single(spark):
+    from article_extractor_spark.operators.dedup import (
+        connected_component_min_labels)
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_component_min_labels(empty).collect() == []
+    one = spark.createDataFrame([(9, 3)], "src long, dst long")
+    got = {r["node"]: r["rep"]
+           for r in connected_component_min_labels(one).collect()}
+    assert got == {3: 3, 9: 3}
