@@ -797,6 +797,33 @@ def winnowed_span_positions(df: DataFrame, text_col: str = "text",
             .withColumnRenamed("_id", id_col))
 
 
+def winnowed_doc_spans(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 24,
+                       window: int = 8) -> DataFrame:
+    """Per-document DISTINCT winnowed spans, deduped inside the Arrow
+    batch: exactly ``winnowed_span_positions(...).select(id, span)
+    .distinct()`` but without the corpus-wide distinct exchange — the
+    within-doc set fits in the row's own working memory."""
+    import pandas as pd
+
+    d = ensure_min_partitions(
+        df.select(F.col(id_col).cast("bigint").alias("_id"),
+                  F.coalesce(F.col(text_col), F.lit("")).alias("_t")))
+
+    def fn(batches):
+        for pdf in batches:
+            ids, spans = [], []
+            for did, t in zip(pdf["_id"], pdf["_t"]):
+                seen = {t[i:i + k] for i in _winnow_positions(t, k, window)}
+                ids.extend([did] * len(seen))
+                spans.extend(seen)
+            yield pd.DataFrame({"_id": pd.Series(ids, dtype="int64"),
+                                "span": pd.Series(spans, dtype="object")})
+
+    return (d.mapInPandas(fn, "_id bigint, span string")
+            .withColumnRenamed("_id", id_col))
+
+
 def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               k: int = 24, window: int = 8,
               max_span_df: int = 10_000) -> DataFrame:
@@ -811,27 +838,28 @@ def dup_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shared selected span, so long duplicated passages cannot be missed.
 
     Scale shape: per-doc selection is a single-pass O(n) monotonic-deque
-    winnow inside an Arrow batch (:func:`winnowed_span_positions` — was
-    an O(n·window) Catalyst slice/array_min chain with an 8x transient
-    array blowup; round-4 perf fix, output hash-identical); the
-    corpus-wide work is one distinct on (doc, span), a hot-span df cap
-    (boilerplate guard, same role as the jaccard hot-shingle cap), and
-    one span-keyed equi-join with map-side-combined pair counting.
+    winnow inside an Arrow batch (per-doc-distinct spans emitted straight
+    from the Arrow pass — was an O(n·window) Catalyst slice/array_min
+    chain in round 3, then a winnow + corpus-wide ``distinct`` through
+    round 6); the corpus-wide work is now ONE groupBy("span") collecting
+    the sorted doc-id set per span (2..``max_span_df`` members — the same
+    boilerplate guard as the jaccard hot-shingle cap), with the
+    (a < b) pairs generated in-row by a streaming double explode.  That
+    single wide exchange replaces the old four (distinct, hot census, two
+    self-join sides); the pair blowup per hot span is identical to the
+    self-join's but never materialized as one array.
     Emits (a_id, b_id, n_shared_spans)."""
-    # cache: the deduped (doc, span) postings feed the hot-span census
-    # and BOTH sides of the span self-join — uncached, every consumer
-    # re-executes the Arrow winnow over the whole corpus (the plan
-    # showed 4 MapInPandas subtrees for one logical pass; same persist
-    # rationale as minhash_lsh_pairs' bands)
-    spans = (winnowed_span_positions(df, text_col, id_col, k, window)
-             .select(id_col, "span").distinct().cache())
-    hot = (spans.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
-           .where(F.col("_df") > max_span_df).select("span"))
-    posts = spans.join(hot, "span", "left_anti")
+    groups = (winnowed_doc_spans(df, text_col, id_col, k, window)
+              .groupBy("span")
+              .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
+              .where((F.size("_ids") >= 2) &
+                     (F.size("_ids") <= max_span_df)))
+    ex = groups.select(F.col("_ids"),
+                       F.posexplode("_ids").alias("_i", "a_id"))
     return (
-        posts.withColumnRenamed(id_col, "a_id")
-        .join(posts.withColumnRenamed(id_col, "b_id"), "span")
-        .where(F.col("a_id") < F.col("b_id"))
+        ex.select("a_id",
+                  F.explode(F.expr("slice(_ids, _i + 2, size(_ids))"))
+                  .alias("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
@@ -853,10 +881,15 @@ def dup_span_ranges(df: DataFrame, text_col: str = "text",
     start > prev_max_end + 1).
 
     Scale shape: winnow is the shared zero-shuffle Arrow pass; the
-    duplicated-span set is one groupBy on span (count distinct docs —
-    uniformly hash-distributed key); the interval merge windows
-    partitionBy(doc) — per-doc row counts are bounded by ~2n/(window+1)
-    selected positions, so no skew beyond document length itself.
+    duplicated-span set is ONE count-distinct-docs aggregation on span
+    (planner-rewritten to the two-level (span, doc) -> span aggregate —
+    the same work the old distinct + census + anti-join + re-count chain
+    spread over four exchanges), filtered to 2..``max_span_df`` docs; the
+    interval merge windows partitionBy(doc) — per-doc row counts are
+    bounded by ~2n/(window+1) selected positions, so no skew beyond
+    document length itself.  The old ``hits.distinct()`` is dropped: a
+    position row is unique per (doc, pos) by construction and ``dup``
+    has one row per span, so the join cannot duplicate rows.
     Emits (doc_id, span_start, span_end, span_len)."""
     from pyspark.sql import Window
 
@@ -866,17 +899,13 @@ def dup_span_ranges(df: DataFrame, text_col: str = "text",
     # Arrow pass per branch
     pos = winnowed_span_positions(
         df, text_col, id_col, k, window).localCheckpoint()
-    per_doc = pos.select(id_col, "span").distinct()
-    hot = (per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("_df"))
-           .where(F.col("_df") > max_span_df).select("span"))
-    dup = (per_doc.join(hot, "span", "left_anti")
-           .groupBy("span")
-           .agg(F.count(F.lit(1)).alias("_ndocs"))
-           .where(F.col("_ndocs") >= 2).select("span"))
+    dup = (pos.groupBy("span")
+           .agg(F.countDistinct(F.col(id_col)).alias("_ndocs"))
+           .where((F.col("_ndocs") >= 2) & (F.col("_ndocs") <= max_span_df))
+           .select("span"))
     hits = (pos.join(dup, "span")
             .select(id_col, F.col("_pos").alias("s"),
-                    (F.col("_pos") + F.lit(k - 1)).alias("e"))
-            .distinct())
+                    (F.col("_pos") + F.lit(k - 1)).alias("e")))
     w = Window.partitionBy(id_col).orderBy("s")
     prev_max = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
