@@ -626,10 +626,39 @@ _COMMON_DIM = 64
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        block_col: str | None = "label") -> DataFrame:
+                        block_col: str | None = "label",
+                        n_chunks: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.  Brute pairwise within blocks
     (block on a coarse key — label here, an LSH bucket at scale) so the
-    self-join is block-diagonal rather than full cartesian."""
+    comparison is block-diagonal rather than full cartesian.
+
+    The within-block triangle is computed by an Arrow kernel, not a
+    self-join: the join formulation materialized a 2 x width-double row
+    PER PAIR (measured 14.6s for ~25M candidate pairs at 10x sf0.1 —
+    all row-building churn, the arithmetic itself is ~3 GFlop).  Each
+    (block, chunk-pair) group ships its rows ONCE into numpy, the dot
+    matrix accumulates term-by-term over the width axis — elementwise
+    IEEE adds in the SAME left-associated order as the old per-pair
+    codegen chain (0.0 + t0 + t1 + ...), so every dot double is
+    bit-identical — and only pairs within a conservative margin of the
+    threshold leave Python.  The EXACT filter (Spark's own
+    round(dot/(na*nb), 4) >= threshold, the oracle-pinned expression)
+    runs in Spark on the surviving rows; the margin (1e-4 of cosine,
+    vs. round's 5e-5 quantum) can only let extra rows through to that
+    exact filter, never drop a qualifying pair.
+
+    ``n_chunks`` > 1 splits each block's triangle into s(s+1)/2
+    chunk-pair groups (rows deterministically hashed into s chunks;
+    group (i, j), i <= j, compares chunk i against chunk j): the skew
+    lever when blocks < task slots AND the kernel-memory cap (a group's
+    dot matrix is (rows/s)^2 doubles).  Same-chunk pairs dedup on
+    id order; cross-chunk pairs occur exactly once and are emitted
+    min-id-first (the dot is symmetric per element, so orientation
+    cannot change the double).  Pair set and cosine values are
+    identical for every s."""
+    import numpy as np
+    import pandas as pd
+
     def norm(c):
         return F.sqrt(F.aggregate(
             F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
@@ -638,41 +667,85 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     # block_col=None -> unblocked comparison via a constant key (full
     # pairwise; only sane for small inputs — pass a block key at scale)
     blk = F.col(block_col) if block_col is not None else F.lit(0)
-    with_norm = emb.select(
-        F.col(id_col), F.col(vec_col), blk.alias("_blk"),
-        norm(vec_col).alias("_n"),
+    s = max(1, int(n_chunks))
+    wn = emb.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(vec_col).alias("_v"),
+        blk.alias("_blk"), norm(vec_col).alias("_n"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int").alias("_u"),
     )
-    a = with_norm.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"),
-        F.col("_blk"), F.col("_n").alias("na"))
-    b = with_norm.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
-        F.col("_blk"), F.col("_n").alias("nb"))
-    # The higher-order zip_with/aggregate dot is interpreted per PAIR
-    # (array allocation + lambda dispatch per element — the dominant
-    # cost of the block-diagonal self-join).  For the common embedding
-    # width an unrolled product chain compiles to straight-line codegen
-    # arithmetic with the SAME sequential accumulation order
-    # (0.0 + t0 + t1 + ... left-associated == aggregate's acc + x), so
-    # the double is bit-identical; any other width takes the original
-    # expression, also unchanged.
-    hof_dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    unrolled = F.lit(0.0)
-    for i in range(_COMMON_DIM):
-        unrolled = unrolled + (F.get("va", i).cast("double")
-                               * F.get("vb", i).cast("double"))
-    dot = F.when((F.size("va") == _COMMON_DIM)
-                 & (F.size("vb") == _COMMON_DIM),
-                 unrolled).otherwise(hof_dot)
-    return (
-        a.join(b, "_blk")
-        .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
-        .where(F.col("cosine") >= threshold)
-        .select("a_id", "b_id", "cosine")
-    )
+    cp = emb.sparkSession.createDataFrame(
+        [(i, j) for i in range(s) for j in range(i, s)], "_ci int, _cj int")
+    # a row of chunk u serves in every group where u is the i side or
+    # the j side; two broadcast equi-joins build that replication
+    # ((s+1)/2 x the block's rows — skinny next to the pair volume)
+    rep = (wn.join(F.broadcast(cp), F.col("_u") == F.col("_ci"))
+           .unionByName(
+               wn.join(F.broadcast(cp.where(F.col("_ci") != F.col("_cj"))),
+                       F.col("_u") == F.col("_cj"))))
+    margin = float(threshold) - 1e-4
+
+    def compare(key, pdf):
+        _, ci, cj = key
+        if ci == cj:
+            pa = pb = pdf
+        else:
+            pa = pdf[pdf["_u"] == ci]
+            pb = pdf[pdf["_u"] == cj]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                                 "b_id": pd.Series(dtype="int64"),
+                                 "_dot": pd.Series(dtype="float64"),
+                                 "na": pd.Series(dtype="float64"),
+                                 "nb": pd.Series(dtype="float64")})
+        # mixed widths take no shortcut: pairs of unequal width had a
+        # null zip_with dot (-> null cosine -> dropped) in the old
+        # expression, so they are simply not emitted
+        wa = pa["_v"].map(len).to_numpy()
+        wb = pb["_v"].map(len).to_numpy()
+        out_a, out_b, out_d, out_na, out_nb = [], [], [], [], []
+        for width in np.unique(np.concatenate([wa, wb])):
+            A = pa[wa == width]
+            B = pb[wb == width]
+            if not len(A) or not len(B):
+                continue
+            # the old expression cast every element to double BEFORE
+            # multiplying; float32/int -> float64 is exact, so this is
+            # the same arithmetic
+            MA = np.stack(A["_v"].to_numpy()).astype(np.float64, copy=False)
+            MB = np.stack(B["_v"].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros((len(A), len(B)))
+            tmp = np.empty_like(acc)
+            for i in range(int(width)):
+                np.multiply(MA[:, i, None], MB[None, :, i], out=tmp)
+                acc += tmp
+            na = A["_n"].to_numpy()
+            nb = B["_n"].to_numpy()
+            ida = A["_id"].to_numpy()
+            idb = B["_id"].to_numpy()
+            mask = acc >= margin * np.multiply.outer(na, nb)
+            if ci == cj:
+                mask &= ida[:, None] < idb[None, :]
+            ii, jj = np.nonzero(mask)
+            out_a.append(np.minimum(ida[ii], idb[jj]))
+            out_b.append(np.maximum(ida[ii], idb[jj]))
+            out_d.append(acc[ii, jj])
+            out_na.append(na[ii])
+            out_nb.append(nb[jj])
+        cat = (lambda xs, dt: np.concatenate(xs) if xs
+               else np.array([], dtype=dt))
+        return pd.DataFrame({"a_id": cat(out_a, "int64"),
+                             "b_id": cat(out_b, "int64"),
+                             "_dot": cat(out_d, "float64"),
+                             "na": cat(out_na, "float64"),
+                             "nb": cat(out_nb, "float64")})
+
+    near = rep.groupBy("_blk", "_ci", "_cj").applyInPandas(
+        compare, "a_id bigint, b_id bigint, _dot double, na double, nb double")
+    return (near
+            .withColumn("cosine",
+                        F.round(F.col("_dot") / (F.col("na") * F.col("nb")), 4))
+            .where(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
 
 
 def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",

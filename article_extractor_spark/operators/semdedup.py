@@ -46,9 +46,17 @@ def semantic_dedup(emb: DataFrame, num_centroids: int = 8, n_iter: int = 1,
     # assignment lineage (a full embedding scan) replays per consumer
     blocked = emb.select(id_col, vec_col).join(
         assign.select(id_col, "centroid_id"), id_col).cache()
+    # the O(n²/k) within-cluster cosine work otherwise lands on exactly
+    # k join tasks; when k is below the session's task slots, split each
+    # cluster's triangle into chunk-pairs until the task count covers
+    # the slots (s stays 1 the moment k >= slots — any at-scale k)
+    slots = emb.sparkSession.sparkContext.defaultParallelism
+    s = 1
+    while num_centroids * s * (s + 1) // 2 < slots and s < 64:
+        s += 1
     pairs = embedding_near_dups(blocked, id_col=id_col, vec_col=vec_col,
                                 threshold=threshold,
-                                block_col="centroid_id")
+                                block_col="centroid_id", n_chunks=s)
     drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return (blocked.join(drops, id_col, "left_anti")
             .select(F.col(id_col), F.col("centroid_id")))

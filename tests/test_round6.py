@@ -184,3 +184,31 @@ def test_connected_component_min_labels_empty_and_single(spark):
     got = {r["node"]: r["rep"]
            for r in connected_component_min_labels(one).collect()}
     assert got == {3: 3, 9: 3}
+
+
+def test_embedding_near_dups_chunked_equals_unchunked(spark):
+    """The triangular chunk-pair split must emit exactly the same
+    (a_id, b_id, cosine) rows as the plain block-diagonal join, for
+    every chunk count — including s larger than the block size."""
+    import random
+
+    from article_extractor_spark.operators.dedup import embedding_near_dups
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(120):
+        # 64-wide (the codegen-specialized width) with clusters of
+        # near-identical vectors so the threshold actually fires
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, [x + rng.uniform(-0.01, 0.01) * (vid % 7 != 0)
+                           for x in base[:32] * 2], vid % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    want = sorted(
+        tuple(r) for r in embedding_near_dups(df, threshold=0.2).collect())
+    assert want, "fixture must produce pairs for the test to mean anything"
+    for s in (2, 3, 16):
+        got = sorted(tuple(r) for r in
+                     embedding_near_dups(df, threshold=0.2,
+                                         n_chunks=s).collect())
+        assert got == want, f"n_chunks={s} diverged"
