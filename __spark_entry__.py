@@ -1786,7 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "semantic_dedup": q_semantic_dedup,
         "bigram_logprob": q_bigram_logprob,
-        "host_hits": q_host_hits,
+        "to_markdown": q_to_markdown,
         "perceptron_train": q_perceptron_train,
         "countmin_freq": q_countmin_freq,
         "bm25_search": q_bm25_search,
@@ -1810,23 +1810,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
-        "host_pagerank": q_host_pagerank,
-        "anchor_text": q_anchor_text,
+        "warc_roundtrip": q_warc_roundtrip,
         "dedup_simhash": q_dedup_simhash,
         # --- unchanged since their last driver-green row (manifest) ---
-        "warc_roundtrip": q_warc_roundtrip,
-        "to_markdown": q_to_markdown,
         "ann_lsh": q_ann_lsh,
         "pq_encode": q_pq_encode,
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
         "golden_parity": q_golden_parity,
+        "host_hits": q_host_hits,
+        "anchor_text": q_anchor_text,
         "int8_quantize": q_int8_quantize,
         "clean_fragments": q_clean_fragments,
         "thumbnails_only": q_thumbnails_only,
         "multipage": q_multipage,
         "extract_titles": q_extract_titles,
         "extract_fulltext": q_extract_fulltext,
+        "host_pagerank": q_host_pagerank,
         "ann_ivf_refined": q_ann_ivf_refined,
         "random_projection": q_random_projection,
         "kmeans_iter": q_kmeans_iter,

@@ -133,19 +133,10 @@ def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     against the edge list + ONE groupBy (both keyed on a host column).
     The raw-score vector is localCheckpointed (same pattern as
     dedup_clusters' label state — keeps the iterative plan shallow
-    instead of replaying the whole lineage per consumer), and the
-    max-normalizer rides IN the plan as a broadcast one-row aggregate
-    over that materialized vector (cross join of a scalar — the k-means
-    centroid-collect pattern without the driver round-trip; the old form
-    collected max(X) with .first() per half-step, 4 extra
-    driver-synchronized jobs per query).  The zero/empty guard (all-zero
-    half when max(X) is NULL or 0) is a CASE in the same expression, so
-    the empty-graph semantics are unchanged without a driver branch.
-    (A fully lazy variant — cache() instead of checkpoint, one deep
-    plan — measured 2.5x SLOWER solo at sf0.1: the un-materialized
-    normalized halves re-execute per consumer and the replicated parse
-    lineage blows up planning; the shallow-plan + in-plan-scalar shape
-    is the measured optimum.)"""
+    instead of replaying the whole lineage per consumer) and the
+    normalizer is a driver-side scalar collect off that materialized
+    vector (one |hosts|-row agg, like k-means' centroid collect) — no
+    cross join in the plan at all."""
     edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
@@ -164,12 +155,14 @@ def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .groupBy("host")
             .agg(F.sum("_c").cast("bigint").alias("_raw"))
             .localCheckpoint())
-        mx = raw.agg(F.max("_raw").alias("_mx"))
-        return (nodes.join(raw, "host", "left").crossJoin(mx)
+        mx = raw.agg(F.max("_raw")).first()[0]
+        if not mx:  # empty edge list or all-zero scores: all-zero half
+            return nodes.select("host",
+                                F.lit(0).cast("bigint").alias(out_col))
+        return (nodes.join(raw, "host", "left")
                 .select("host",
-                        F.expr("CASE WHEN coalesce(_mx, 0L) <= 0L THEN 0L "
-                               "ELSE CAST((coalesce(_raw, 0L) * 1000000) "
-                               "DIV _mx AS BIGINT) END").alias(out_col)))
+                        F.expr(f"CAST((coalesce(_raw, 0L) * 1000000) "
+                               f"DIV {mx} AS BIGINT)").alias(out_col)))
 
     hubs = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
     auths = None
